@@ -1,0 +1,32 @@
+"""TPU-native agent-based epidemic simulation framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of
+NoSuchThingAsRandom/EpidemicSimulator (ESUCD): synthetic UK populations from
+census data, hourly SEIR(+V) dynamics with building-colocation exposure,
+public-transport mixing and threshold-triggered interventions — expressed as
+struct-of-arrays device tensors, segment reductions and one jit-scanned step
+instead of an object graph behind mutexes.
+"""
+
+from .config import DiseaseParams, InterventionThresholds, Params, SimConfig
+from .engine.simulator import Simulator
+from .engine.state import SimState, init_state
+from .engine.step import step
+from .world.schema import World, make_world
+from .world.synthetic import generate_synthetic_world
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DiseaseParams",
+    "InterventionThresholds",
+    "Params",
+    "SimConfig",
+    "SimState",
+    "Simulator",
+    "World",
+    "generate_synthetic_world",
+    "init_state",
+    "make_world",
+    "step",
+]

@@ -1,0 +1,214 @@
+"""Typed configuration for the TPU-native epidemic engine.
+
+The reference (ESUCD) scatters its epidemiological constants across compile-time
+Rust consts (`sim/src/config.rs:22-47`), the disease model constructor
+(`sim/src/disease.rs:118-129`) and intervention thresholds
+(`sim/src/interventions.rs:50-77`).  Here everything lives in two layers:
+
+* ``DiseaseParams`` / ``InterventionThresholds`` — *traced* pytrees of scalars.
+  They flow through ``jax.jit`` as arrays, so ensemble sweeps can ``vmap`` over
+  them without recompilation (the reference's own TODO at
+  ``interventions.rs:51`` asks for file-driven config).
+* ``SimConfig`` — *static* (hashable) structural knobs that change compiled
+  shapes: max steps, scan chunking, whether per-OA exposure stats are recorded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Static structural constants (mirrors sim/src/config.rs)
+# ---------------------------------------------------------------------------
+
+#: Number of citizens initially infected (config.rs:27 STARTING_INFECTED_COUNT)
+STARTING_INFECTED_COUNT = 10
+#: Default floor space assumed per workplace building (config.rs:29)
+WORKPLACE_BUILDING_SIZE = 1000
+#: Household size used by the toy/synthetic world (config.rs:30)
+HOUSEHOLD_SIZE = 4
+#: Minimum number of occupants a workplace can hold (config.rs:31)
+MIN_WORKPLACE_OCCUPANT_COUNT = 20
+#: Fraction of citizens that commute by public transport (config.rs:36)
+PUBLIC_TRANSPORT_PERCENTAGE = 0.2
+#: Riders per bus (config.rs:37 BUS_CAPACITY)
+BUS_CAPACITY = 20
+#: Age below which a citizen is a student (config.rs:38 MAX_STUDENT_AGE)
+MAX_STUDENT_AGE = 18
+#: Minimum workplace floor space in m^2 (building.rs:40 MINIMUM_FLOOR_SPACE_SIZE)
+MINIMUM_FLOOR_SPACE_SIZE = 2000
+#: Average students per school class (building.rs:307 AVERAGE_CLASS_SIZE)
+AVERAGE_CLASS_SIZE = 26.6
+#: Teachers per shared school office (building.rs:308 AVERAGE_OFFICE_SIZE)
+AVERAGE_OFFICE_SIZE = 12
+#: Progress print cadence (config.rs:34 DEBUG_ITERATION_PRINT)
+DEBUG_ITERATION_PRINT = 50
+
+# Employment densities, m^2 per employee, per occupation index 0..8
+# (load_census_data/src/tables/employment_densities.rs:31-58).  Index order
+# matches OccupationType::get_index (citizen.rs:312-324).
+EMPLOYMENT_DENSITY_BY_OCCUPATION = (
+    12,  # Manager           -> OFFICE_GENERAL_OFFICE
+    12,  # Professional      -> OFFICE_GENERAL_OFFICE
+    10,  # Technical         -> OFFICE_SERVICED_OFFICE
+    12,  # Administrative    -> OFFICE_GENERAL_OFFICE
+    36,  # SkilledTrades     -> INDUSTRIAL_GENERAL
+    47,  # Caring            -> INDUSTRIAL_LIGHT_INDUSTRY_BUSINESS_PARK
+    19,  # Sales             -> RETAIL_HIGH_STREET
+    36,  # MachineOperatives -> INDUSTRIAL_GENERAL
+    19,  # Teaching          -> RETAIL_HIGH_STREET
+)
+
+# Occupation encoding for the int8 occupation lane.
+OCC_MANAGER = 0
+OCC_PROFESSIONAL = 1
+OCC_TECHNICAL = 2
+OCC_ADMINISTRATIVE = 3
+OCC_SKILLED_TRADES = 4
+OCC_CARING = 5
+OCC_SALES = 6
+OCC_MACHINE_OPERATIVES = 7
+OCC_TEACHING = 8
+OCC_STUDENT = 9
+OCC_UNEMPLOYED = 10
+
+# Disease status encoding for the int8 status lane (disease.rs:36-44).
+STATUS_SUSCEPTIBLE = 0
+STATUS_EXPOSED = 1
+STATUS_INFECTED = 2
+STATUS_RECOVERED = 3
+STATUS_VACCINATED = 4
+
+# Mask status encoding (interventions.rs:26-30).
+MASK_NONE = 0
+MASK_PUBLIC_TRANSPORT = 1
+MASK_EVERYWHERE = 2
+
+
+# ---------------------------------------------------------------------------
+# Traced parameter pytrees
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DiseaseParams:
+    """SEIR(+V) disease model parameters (disease.rs:96-129).
+
+    All fields are scalars traced through jit, so a ``vmap`` over a stacked
+    ``DiseaseParams`` runs a parameter ensemble in one compilation.
+    """
+
+    exposure_chance: Any = 0.00055
+    death_rate: Any = 0.2           # carried for parity; unused by reference hot loop
+    exposed_time: Any = 4 * 24      # E -> I after timer passes this (disease.rs:54)
+    infected_time: Any = 14 * 24    # I -> R after timer passes this (disease.rs:61)
+    vaccination_rate: Any = 85 * 18  # citizens vaccinated per step (disease.rs:104)
+    mask_percentage: Any = 0.8      # probability a citizen is mask compliant
+    mask_effectiveness: Any = 0.70
+
+    @staticmethod
+    def covid() -> "DiseaseParams":
+        """The reference's COVID-19 parameterisation (disease.rs:118-129)."""
+        return DiseaseParams()
+
+    def as_arrays(self) -> "DiseaseParams":
+        return DiseaseParams(
+            exposure_chance=jnp.asarray(self.exposure_chance, jnp.float32),
+            death_rate=jnp.asarray(self.death_rate, jnp.float32),
+            exposed_time=jnp.asarray(self.exposed_time, jnp.int32),
+            infected_time=jnp.asarray(self.infected_time, jnp.int32),
+            vaccination_rate=jnp.asarray(self.vaccination_rate, jnp.int32),
+            mask_percentage=jnp.asarray(self.mask_percentage, jnp.float32),
+            mask_effectiveness=jnp.asarray(self.mask_effectiveness, jnp.float32),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class InterventionThresholds:
+    """Fraction-of-infected thresholds that trigger interventions.
+
+    Values from interventions.rs:50-57 (masks) and :74-77 (lockdown /
+    vaccination).  A negative value disables the intervention (the reference
+    uses ``Option``; a sentinel keeps the pytree flat for vmap).
+    """
+
+    lockdown: Any = 0.0034
+    vaccination: Any = 0.005
+    mask_public_transport: Any = 0.001
+    mask_everywhere: Any = 0.0022
+
+    def as_arrays(self) -> "InterventionThresholds":
+        return InterventionThresholds(
+            lockdown=jnp.asarray(self.lockdown, jnp.float32),
+            vaccination=jnp.asarray(self.vaccination, jnp.float32),
+            mask_public_transport=jnp.asarray(self.mask_public_transport, jnp.float32),
+            mask_everywhere=jnp.asarray(self.mask_everywhere, jnp.float32),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Params:
+    """Everything traced: disease model + intervention thresholds."""
+
+    disease: DiseaseParams = dataclasses.field(default_factory=DiseaseParams)
+    thresholds: InterventionThresholds = dataclasses.field(
+        default_factory=InterventionThresholds
+    )
+
+    @staticmethod
+    def covid() -> "Params":
+        return Params(DiseaseParams.covid(), InterventionThresholds())
+
+    def as_arrays(self) -> "Params":
+        return Params(self.disease.as_arrays(), self.thresholds.as_arrays())
+
+
+# ---------------------------------------------------------------------------
+# Static compile-shaping config
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static knobs.  Hashable; passed as a static argument to jit.
+
+    * ``max_steps`` — simulation horizon in hours (disease.rs max_time_step).
+    * ``chunk_size`` — steps per compiled ``lax.scan`` chunk; the host checks
+      the early-exit condition between chunks (simulator.rs:146-150 semantics
+      without giving up compiled throughput).
+    * ``record_exposures_per_oa`` — per-OA exposure counts per step, the
+      ``exposures.json`` artifact (statistics.rs:181-195).  Costs a
+      ``(chunk, n_oa)`` output per chunk.
+    * ``reference_mask_semantics`` — keep the reference's inverted mask logic
+      (citizen.rs:228-232 passes ``MaskStatus::None`` for *compliant*
+      citizens, so mask benefits accrue to non-compliant citizens only).
+      Set False for the "intended" semantics.
+    """
+
+    max_steps: int = 5000
+    chunk_size: int = 250
+    record_exposures_per_oa: bool = True
+    reference_mask_semantics: bool = True
+    #: Replicate the reference's `exposure_total as u8` truncation
+    #: (citizen.rs:239): infected counts wrap modulo 256 in the binomial.
+    reference_u8_truncation: bool = True
+    #: Replicate the reference's vaccine-eligibility quirks: citizens exposed
+    #: via *buildings* stay in the eligible pool (the pruning at
+    #: simulator.rs:346-348 targets OutputArea.citizens_eligible_for_vaccine,
+    #: which is never initialised), already-vaccinated citizens stay in the
+    #: pool (wasting slots), and chosen citizens are set to Vaccinated
+    #: regardless of current status (simulator.rs:524-553).  Only bus
+    #: exposures prune (simulator.rs:447-449).
+    faithful_vaccine_bugs: bool = True
+    #: Static upper bound on vaccinations per step (sizes the on-device top-k
+    #: selection; the traced DiseaseParams.vaccination_rate must not exceed
+    #: it).
+    max_vaccinations_per_step: int = 85 * 18
+    bus_capacity: int = BUS_CAPACITY
+    starting_infected: int = STARTING_INFECTED_COUNT
+    debug_print_every: int = DEBUG_ITERATION_PRINT

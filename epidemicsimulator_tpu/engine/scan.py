@@ -1,0 +1,85 @@
+"""Compiled multi-step execution: ``lax.scan`` chunks with host early-exit.
+
+The reference loop (simulator.rs:108-127) runs up to ``max_time_step`` hours
+and breaks when the disease is gone — ``disease_exists`` is true while any of
+exposed/infected/susceptible is nonzero (statistics.rs:289-291), so the run
+actually ends only when vaccination + recovery have emptied all three pools.
+
+On TPU the loop body is traced once and scanned.  To keep the early exit, we
+scan a chunk of ``cfg.chunk_size`` steps per device call and let the host
+check the exit condition between chunks; dead epidemics don't pay for the
+full 5000 steps, and live ones amortise dispatch overhead across the chunk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Params, SimConfig
+from ..world.schema import World
+from .state import SimState
+from .step import StepOutput, step
+
+
+def make_chunk_runner(world: World, cfg: SimConfig):
+    """Returns jitted ``chunk(params, state) -> (state, StepOutput[chunk])``."""
+
+    def chunk(params: Params, state: SimState):
+        def body(carry, _):
+            new_state, out = step(world, params, cfg, carry)
+            return new_state, out
+
+        return jax.lax.scan(body, state, None, length=cfg.chunk_size)
+
+    return jax.jit(chunk, donate_argnums=(1,))
+
+
+def run(
+    world: World,
+    params: Params,
+    cfg: SimConfig,
+    state: SimState,
+    *,
+    callback=None,
+):
+    """Run until the epidemic ends or ``cfg.max_steps`` is reached.
+
+    Returns ``(final_state, outputs)`` where outputs is a StepOutput pytree of
+    stacked host numpy arrays, truncated after the step at which
+    ``disease_exists`` first became false (matching the reference's break,
+    simulator.rs:114-123).
+    """
+    import numpy as np
+
+    chunk_fn = make_chunk_runner(world, cfg)
+    params = params.as_arrays()
+
+    chunks = []
+    steps_done = 0
+    while steps_done < cfg.max_steps:
+        state, out = chunk_fn(params, state)
+        out = jax.tree.map(np.asarray, out)
+        chunks.append(out)
+        steps_done += cfg.chunk_size
+
+        seirv = out.seirv  # (chunk, 5)
+        alive = seirv[:, 0] + seirv[:, 1] + seirv[:, 2] > 0
+        if callback is not None:
+            callback(steps_done, out)
+        if not alive[-1]:
+            break
+
+    outputs = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *chunks)
+    outputs = jax.tree.map(lambda x: x[: cfg.max_steps], outputs)
+
+    # Truncate after the first dead step, as the reference stops stepping
+    # the moment disease_exists() returns false.
+    seirv = outputs.seirv
+    alive = seirv[:, 0] + seirv[:, 1] + seirv[:, 2] > 0
+    if not alive.all():
+        end = int(np.argmin(alive)) + 1  # keep the step that reported death
+        outputs = jax.tree.map(lambda x: x[:end], outputs)
+    return state, outputs

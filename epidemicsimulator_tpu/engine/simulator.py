@@ -1,0 +1,76 @@
+"""User-facing Simulator: the analog of ``sim/src/simulator.rs``'s Simulator.
+
+Owns a static :class:`World`, traced :class:`Params`, and runs the compiled
+chunked scan with host-side statistics recording and progress printing
+(simulator.rs:108-127).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..config import Params, SimConfig
+from ..stats.recorder import StatisticsRecorder, _memory_usage_string
+from ..world.schema import World
+from .scan import run
+from .state import SimState, init_state
+
+
+class Simulator:
+    def __init__(
+        self,
+        world: World,
+        params: Params | None = None,
+        cfg: SimConfig | None = None,
+        *,
+        seed: int = 0,
+        oa_codes: list[str] | None = None,
+        verbose: bool = True,
+    ):
+        self.world = world.device_put()
+        self.params = (params or Params.covid()).as_arrays()
+        self.cfg = cfg or SimConfig()
+        self.seed = seed
+        self.verbose = verbose
+        self.recorder = StatisticsRecorder(oa_codes=oa_codes)
+        self.state: SimState = init_state(
+            self.world,
+            seed=seed,
+            starting_infected=self.cfg.starting_infected,
+        )
+
+    def simulate(self, output_dir: str | None = None) -> np.ndarray:
+        """Run to completion; optionally dump the four JSON artifacts.
+
+        Returns the (T, 5) SEIRV series.
+        """
+        t0 = time.perf_counter()
+        last_print = [t0]
+
+        def callback(steps_done, out):
+            self.recorder.record_chunk(out)
+            if self.verbose:
+                row = out.seirv[-1]
+                now = time.perf_counter()
+                print(
+                    f"Completed {steps_done:>5} time steps, in: "
+                    f"{now - last_print[0]:6.2f} seconds  "
+                    f"S: {row[0]:,} E: {row[1]:,} I: {row[2]:,} "
+                    f"R: {row[3]:,} V: {row[4]:,},   "
+                    f"Memory usage: {_memory_usage_string()}"
+                )
+                last_print[0] = now
+
+        self.recorder.start_chunk()
+        self.state, outputs = run(
+            self.world, self.params, self.cfg, self.state, callback=callback
+        )
+        seirv = np.asarray(outputs.seirv)
+        self.recorder.truncate(seirv.shape[0])
+        if self.verbose:
+            print(f"Finished in {time.perf_counter() - t0:.2f}s")
+        if output_dir is not None:
+            self.recorder.dump_to_file(output_dir)
+        return seirv

@@ -1,0 +1,89 @@
+"""Mutable simulation state: the ``lax.scan`` carry.
+
+The reference's state is the whole object graph; here it is six small lanes
+plus a handful of carried scalars.  Everything else (positions, schedules,
+mixing groups) is a pure function of the static :class:`~..world.schema.World`
+and the hour.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    MASK_NONE,
+    STATUS_INFECTED,
+    STATUS_SUSCEPTIBLE,
+)
+from ..world.schema import World
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SimState:
+    """Scan carry.  Per-citizen lanes have shape (N,); the rest are scalars."""
+
+    # --- per-citizen ---
+    status: Any          # int8 STATUS_* (disease.rs:36-44)
+    timer: Any           # int16 hours in current E/I state (disease.rs:39-41)
+    at_work: Any         # bool: current position is work_building.  Carried
+                         # (not derived from the hour) because lockdown
+                         # freezes transitions (citizen.rs:176).
+    on_bus: Any          # bool: on public transport this step.  Carried for
+                         # the same reason: riders at the moment lockdown
+                         # starts stay on their bus until it lifts.
+    bus_to_work: Any     # bool: route direction home->work vs work->home
+    eligible: Any        # bool: in the vaccination-eligible pool
+
+    # --- scalars ---
+    hour: Any            # int32, 1-based time step
+    lockdown: Any        # bool (interventions.rs:114-128: pure threshold fn)
+    vaccination_started: Any  # bool, latches on (interventions.rs:131-140)
+    mask_status: Any     # int8 MASK_* (interventions.rs:142-180)
+    rng_key: Any         # jax PRNG key for the step's draws
+
+
+def init_state(
+    world: World,
+    *,
+    seed: int = 0,
+    starting_infected: int = 10,
+    np_seed: int | None = None,
+) -> SimState:
+    """Initial state with seeded infections.
+
+    The reference seeds ``STARTING_INFECTED_COUNT`` citizens ``Infected(0)``
+    by choosing a uniform output area, then a uniform citizen inside it
+    (simulator_builder.rs:1111-1142) — note this is *not* uniform over the
+    population; small areas are overrepresented.  We reproduce that two-level
+    choice on the host.
+    """
+    n = world.n_citizens
+    rng = np.random.default_rng(seed if np_seed is None else np_seed)
+    status = np.zeros(n, np.int8)
+    home_oa = np.asarray(world.home_oa)
+    for _ in range(starting_infected):
+        oa = rng.integers(0, world.n_output_areas)
+        members = np.flatnonzero(home_oa == oa)
+        if len(members) == 0:
+            continue
+        status[rng.choice(members)] = STATUS_INFECTED
+
+    return SimState(
+        status=jnp.asarray(status),
+        timer=jnp.zeros(n, jnp.int16),
+        at_work=jnp.zeros(n, jnp.bool_),
+        on_bus=jnp.zeros(n, jnp.bool_),
+        bus_to_work=jnp.zeros(n, jnp.bool_),
+        eligible=jnp.zeros(n, jnp.bool_),
+        hour=jnp.asarray(0, jnp.int32),
+        lockdown=jnp.asarray(False),
+        vaccination_started=jnp.asarray(False),
+        mask_status=jnp.asarray(MASK_NONE, jnp.int8),
+        rng_key=jax.random.key(seed),
+    )
