@@ -49,14 +49,34 @@ class StepOutput(NamedTuple):
     n_vaccinated_now: jnp.ndarray  # () int32 set to V this step
 
 
-def step(world: World, params: Params, cfg: SimConfig, state: SimState):
-    """Advance one hour.  Returns (new_state, StepOutput)."""
+def step(
+    world: World,
+    params: Params,
+    cfg: SimConfig,
+    state: SimState,
+    axis_name: str | None = None,
+):
+    """Advance one hour.  Returns (new_state, StepOutput).
+
+    ``axis_name``: when set, the step runs inside ``shard_map`` over a
+    citizen-sharded mesh axis of that name.  Per-citizen lanes are local
+    shards; infection-pressure tables and global counters are combined with
+    ``lax.psum`` over the axis (the TPU analog of the reference's cross-OA
+    migration merge, simulator.rs:218-257 — except no agent state ever
+    moves, only B-sized count tables ride the ICI).
+    """
     d = params.disease
     th = params.thresholds
     n = world.n_citizens
 
+    def gsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
     hour = state.hour + 1
     key = jax.random.fold_in(state.rng_key, hour)
+    if axis_name:
+        # Distinct per-device streams for the per-citizen draws.
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     k_bus, k_draw, k_vax = jax.random.split(key, 3)
 
     # ------------------------------------------------------------------
@@ -102,7 +122,7 @@ def step(world: World, params: Params, cfg: SimConfig, state: SimState):
     #    (simulator.rs:178).
     # ------------------------------------------------------------------
     onehot = jax.nn.one_hot(status, 5, dtype=jnp.int32)
-    seirv0 = jnp.sum(onehot, axis=0)
+    seirv0 = gsum(jnp.sum(onehot, axis=0))
 
     # ------------------------------------------------------------------
     # 4. Infection pressure.  Infected citizens contribute at their current
@@ -111,14 +131,18 @@ def step(world: World, params: Params, cfg: SimConfig, state: SimState):
     # ------------------------------------------------------------------
     pos_building = jnp.where(at_work, world.work_building, world.home_building)
     inf_active = (status == STATUS_INFECTED) & ~on_bus
-    n_inf_building = jax.ops.segment_sum(
-        inf_active.astype(jnp.int32), pos_building, num_segments=world.n_buildings
+    n_inf_building = gsum(
+        jax.ops.segment_sum(
+            inf_active.astype(jnp.int32), pos_building, num_segments=world.n_buildings
+        )
     )
     # School rooms: infected positioned at their school, per class/office
     # (building.rs:494-522 confines exposure to the infected's room).
     inf_in_school = inf_active & at_work & world.is_school_work
-    n_inf_room = jax.ops.segment_sum(
-        inf_in_school.astype(jnp.int32), world.room, num_segments=world.n_rooms + 1
+    n_inf_room = gsum(
+        jax.ops.segment_sum(
+            inf_in_school.astype(jnp.int32), world.room, num_segments=world.n_rooms + 1
+        )
     )
 
     # ------------------------------------------------------------------
@@ -188,8 +212,13 @@ def step(world: World, params: Params, cfg: SimConfig, state: SimState):
             k_bus, on_bus, route_key, is_inf & on_bus, cfg.bus_capacity
         )
 
+    # Buses are formed per device shard: with citizens sharded by home-OA
+    # blocks, same-route riders are almost always co-resident.  (A global
+    # formulation via all_to_all is a future optimisation; divergence is a
+    # slightly higher partial-bus rate at shard boundaries.)
+    any_rider = gsum(jnp.any(on_bus).astype(jnp.int32)) > 0
     n_inf_my_bus = jax.lax.cond(
-        jnp.any(on_bus), bus_branch, lambda _: jnp.zeros((n,), jnp.int32), None
+        any_rider, bus_branch, lambda _: jnp.zeros((n,), jnp.int32), None
     )
     q_bus = jnp.where(
         n_inf_my_bus > 0, binomial_at_least_one(p_cit, n_inf_my_bus), 0.0
@@ -221,19 +250,21 @@ def step(world: World, params: Params, cfg: SimConfig, state: SimState):
 
     # Exposure bookkeeping (statistics.rs:181-195): building-sourced
     # exposures count against the building's OA; bus exposures only globally.
-    n_new = jnp.sum(newly_exposed.astype(jnp.int32))
+    n_new = gsum(jnp.sum(newly_exposed.astype(jnp.int32)))
     from_home = hit_home
     from_work = hit_work & ~hit_home
     from_bus = hit_bus & ~hit_home & ~hit_work
-    n_bus_exp = jnp.sum(from_bus.astype(jnp.int32))
+    n_bus_exp = gsum(jnp.sum(from_bus.astype(jnp.int32)))
     if cfg.record_exposures_per_oa:
         oa_attr = jnp.where(from_home, world.home_oa, world.work_oa)
         counted = from_home | from_work
-        exposures_per_oa = jax.ops.segment_sum(
-            counted.astype(jnp.int32),
-            jnp.where(counted, oa_attr, world.n_output_areas),
-            num_segments=world.n_output_areas + 1,
-        )[: world.n_output_areas]
+        exposures_per_oa = gsum(
+            jax.ops.segment_sum(
+                counted.astype(jnp.int32),
+                jnp.where(counted, oa_attr, world.n_output_areas),
+                num_segments=world.n_output_areas + 1,
+            )[: world.n_output_areas]
+        )
     else:
         exposures_per_oa = jnp.zeros((0,), jnp.int32)
 
@@ -284,12 +315,24 @@ def step(world: World, params: Params, cfg: SimConfig, state: SimState):
     # ------------------------------------------------------------------
     def vaccinate(args):
         status, eligible, key = args
-        k_max = cfg.max_vaccinations_per_step
+        k_max = min(cfg.max_vaccinations_per_step, n)
         scores = jax.random.uniform(key, (n,), jnp.float32)
         scores = jnp.where(eligible, scores, 2.0)
         neg_top, idxs = jax.lax.top_k(-scores, k_max)
-        ranks = jnp.arange(k_max, dtype=jnp.int32)
-        chosen = (ranks < d.vaccination_rate) & (-neg_top <= 1.0)
+        if axis_name:
+            # Exact global-k selection: gather every shard's local top-k_max
+            # scores, find the global rank-k threshold, and vaccinate local
+            # candidates at or below it.  O(devices * k) over ICI.
+            all_scores = jax.lax.all_gather(-neg_top, axis_name).reshape(-1)
+            global_sorted = jnp.sort(all_scores)
+            kth = jnp.take(
+                global_sorted,
+                jnp.clip(d.vaccination_rate - 1, 0, global_sorted.shape[0] - 1),
+            )
+            chosen = (-neg_top <= kth) & (-neg_top <= 1.0)
+        else:
+            ranks = jnp.arange(k_max, dtype=jnp.int32)
+            chosen = (ranks < d.vaccination_rate) & (-neg_top <= 1.0)
         if cfg.faithful_vaccine_bugs:
             # Chosen citizens become Vaccinated regardless of current status,
             # and stay in the pool (the reference never removes them).
@@ -302,7 +345,7 @@ def step(world: World, params: Params, cfg: SimConfig, state: SimState):
             eligible = eligible.at[idxs].set(
                 jnp.where(chosen, False, eligible[idxs]), mode="drop"
             )
-        n_vax = jnp.sum(chosen.astype(jnp.int32))
+        n_vax = gsum(jnp.sum(chosen.astype(jnp.int32)))
         return status, eligible, n_vax
 
     status, eligible, n_vax = jax.lax.cond(

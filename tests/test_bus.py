@@ -1,0 +1,97 @@
+"""Bus grouping kernel: route partitioning, capacity-20 chunking, shuffle
+uniformity (simulator.rs:360-401 semantics)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from epidemicsimulator_tpu.ops.segments import bus_infection_counts
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted(capacity):
+    return jax.jit(
+        lambda key, on_bus, route, inf: bus_infection_counts(
+            key, on_bus, route, inf, capacity
+        )
+    )
+
+
+def _counts(key, on_bus, route, inf, capacity=20):
+    return np.asarray(
+        _jitted(capacity)(
+            jax.random.key(key),
+            jnp.asarray(on_bus, bool),
+            jnp.asarray(route, jnp.int32),
+            jnp.asarray(inf, bool),
+        )
+    )
+
+
+def test_all_infected_single_route_chunk_sizes():
+    # 45 riders, all infected, one route -> buses of 20/20/5; each rider sees
+    # exactly their bus's size as the infected count.
+    n = 45
+    out = _counts(0, [True] * n, [7] * n, [True] * n)
+    vals, cnt = np.unique(out, return_counts=True)
+    assert set(vals) == {5, 20}
+    assert cnt[vals == 20][0] == 40 and cnt[vals == 5][0] == 5
+
+
+def test_non_riders_zero():
+    on_bus = [True, False, True, False]
+    out = _counts(1, on_bus, [3, 3, 3, 3], [True, True, True, True])
+    assert out[1] == 0 and out[3] == 0
+    assert out[0] == 2 and out[2] == 2  # the two riders share one bus
+
+
+def test_routes_do_not_mix():
+    # 2 routes; route A has the only infected rider.  Route B riders must
+    # never see an infected count.
+    on_bus = [True] * 30
+    route = [1] * 10 + [2] * 20
+    inf = [True] + [False] * 29
+    for seed in range(5):
+        out = _counts(seed, on_bus, route, inf)
+        assert (out[10:] == 0).all()
+        assert (out[:10] == 1).all()  # 10 riders fit one bus with 1 infected
+
+
+def test_infected_total_conserved_per_route():
+    # Sum over distinct buses of infected counts == total infected riders.
+    rng = np.random.default_rng(0)
+    n = 200
+    on_bus = np.ones(n, bool)
+    route = rng.integers(0, 4, n)
+    inf = rng.random(n) < 0.3
+    out = _counts(3, on_bus, route, inf)
+    # For each route, every rider on the same bus reports the same count and
+    # bus sizes are <= 20; check per-route aggregate by brute force over seeds
+    for r in range(4):
+        riders = np.flatnonzero(route == r)
+        n_inf = int(inf[riders].sum())
+        # average count weighted by bus membership must equal n_inf when
+        # summed per bus; do a weaker invariant: max count <= n_inf, and if
+        # n_inf > 0 at least one rider sees >= 1.
+        assert out[riders].max() <= n_inf
+        if n_inf:
+            assert out[riders].max() >= 1
+
+
+def test_shuffle_randomises_bus_composition():
+    # 40 riders, 1 infected, one route, capacity 20: the infected lands in
+    # bus 0 or bus 1 ~uniformly, so each rider should see n_inf=1 about half
+    # the time across seeds.
+    n = 40
+    inf = [True] + [False] * (n - 1)
+    seen = np.zeros(n)
+    trials = 200
+    for seed in range(trials):
+        out = _counts(seed, [True] * n, [0] * n, inf)
+        seen += out > 0
+    rate = seen[1:] / trials
+    # Each susceptible shares the infected's bus w.p. 19/39 ~ 0.487
+    assert abs(rate.mean() - 19 / 39) < 0.05
+    assert rate.min() > 0.25 and rate.max() < 0.75
