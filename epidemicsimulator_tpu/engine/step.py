@@ -121,29 +121,63 @@ def step(
     #    stats during generate_exposures, i.e. post-advance, pre-exposure
     #    (simulator.rs:178).
     # ------------------------------------------------------------------
-    onehot = jax.nn.one_hot(status, 5, dtype=jnp.int32)
-    seirv0 = gsum(jnp.sum(onehot, axis=0))
+    seirv0 = gsum(
+        jnp.stack(
+            [jnp.sum((status == s).astype(jnp.int32)) for s in range(5)]
+        )
+    )
 
     # ------------------------------------------------------------------
     # 4. Infection pressure.  Infected citizens contribute at their current
     #    building unless on a bus (simulator.rs:181-198: riders go into the
     #    bus manifest *instead of* the building map).
+    #
+    #    Single-device fast path: membership is static, so per-building and
+    #    per-room infected counts are contiguous-range sums over two static
+    #    orders — two cumsums + static gathers, no scatter at all.
+    #    Sharded path: local segment_sum + psum of the B-sized tables.
     # ------------------------------------------------------------------
-    pos_building = jnp.where(at_work, world.work_building, world.home_building)
     inf_active = (status == STATUS_INFECTED) & ~on_bus
-    n_inf_building = gsum(
-        jax.ops.segment_sum(
-            inf_active.astype(jnp.int32), pos_building, num_segments=world.n_buildings
+    at_home_pos = ~at_work | (world.work_building == world.home_building)
+    contrib_home = inf_active & at_home_pos
+    contrib_work = inf_active & at_work & (world.work_building != world.home_building)
+
+    use_prefix = axis_name is None and world.has_index_tables
+    if use_prefix:
+        cs_home = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(contrib_home.astype(jnp.int32))]
         )
-    )
-    # School rooms: infected positioned at their school, per class/office
-    # (building.rs:494-522 confines exposure to the infected's room).
-    inf_in_school = inf_active & at_work & world.is_school_work
-    n_inf_room = gsum(
-        jax.ops.segment_sum(
-            inf_in_school.astype(jnp.int32), world.room, num_segments=world.n_rooms + 1
+        n_h = jnp.take(cs_home, world.home_hi) - jnp.take(cs_home, world.home_lo)
+        cw = jnp.take(contrib_work, world.work_perm)
+        cs_work = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(cw.astype(jnp.int32))]
         )
-    )
+        n_w = jnp.take(cs_work, world.wb_hi) - jnp.take(cs_work, world.wb_lo)
+        draws_room = jnp.take(cs_work, world.room_hi) - jnp.take(
+            cs_work, world.room_lo
+        )
+    else:
+        pos_building = jnp.where(at_work, world.work_building, world.home_building)
+        n_inf_building = gsum(
+            jax.ops.segment_sum(
+                inf_active.astype(jnp.int32),
+                pos_building,
+                num_segments=world.n_buildings,
+            )
+        )
+        # School rooms: infected positioned at their school, per class/office
+        # (building.rs:494-522 confines exposure to the infected's room).
+        inf_in_school = inf_active & at_work & world.is_school_work
+        n_inf_room = gsum(
+            jax.ops.segment_sum(
+                inf_in_school.astype(jnp.int32),
+                world.room,
+                num_segments=world.n_rooms + 1,
+            )
+        )
+        n_h = jnp.take(n_inf_building, world.home_building)
+        n_w = jnp.take(n_inf_building, world.work_building)
+        draws_room = jnp.take(n_inf_room, world.room)
 
     # ------------------------------------------------------------------
     # 5. Per-citizen exposure chance (disease.rs:131-154 + citizen.rs:221-248).
@@ -173,7 +207,6 @@ def step(
 
     # Home side: the household exposes all residents once per step with
     # n = infected positioned there (building.rs:202-204, simulator.rs:307).
-    n_h = jnp.take(n_inf_building, world.home_building)
     q_home = jnp.where(
         cur_oa == world.home_oa,
         binomial_at_least_one(p_cit, trunc(n_h)),
@@ -187,10 +220,9 @@ def step(
     # times; a repeated Bernoulli(q) is equivalent to 1-(1-q)^draws).
     # The unemployed have work_building == home_building; the reference holds
     # a single BuildingID so only one draw happens — hence the != gate.
-    n_w = jnp.take(n_inf_building, world.work_building)
     draws_w = jnp.where(
         world.is_school_work,
-        jnp.take(n_inf_room, world.room),
+        draws_room,
         (n_w > 0).astype(jnp.int32),
     )
     q_single = binomial_at_least_one(p_cit, trunc(n_w))
@@ -202,15 +234,29 @@ def step(
 
     # Bus side (simulator.rs:360-401): only evaluated on hours where anyone
     # rides; lax.cond skips the sort for the other ~22/24 steps.
-    route_src = jnp.where(bus_to_work, world.home_oa, world.work_oa)
-    route_dst = jnp.where(bus_to_work, world.work_oa, world.home_oa)
-    route_key = route_src * jnp.int32(world.n_output_areas) + route_dst
+    if use_prefix and world.rider_perm is not None:
+        # Rider-compacted: only the static transport users (~20% of N,
+        # citizen.rs:159) enter the per-step route sort; their (home, work)
+        # commute pair is static, so the dense route ids are precomputed.
+        def bus_branch(_):
+            rp = world.rider_perm
+            rb_on = jnp.take(on_bus, rp)
+            rb_inf = jnp.take(status, rp) == STATUS_INFECTED
+            n_r = bus_infection_counts(
+                k_bus, rb_on, world.rider_route, rb_inf & rb_on, cfg.bus_capacity
+            )
+            return jnp.zeros((n,), jnp.int32).at[rp].set(n_r, mode="drop")
 
-    def bus_branch(_):
-        is_inf = status == STATUS_INFECTED
-        return bus_infection_counts(
-            k_bus, on_bus, route_key, is_inf & on_bus, cfg.bus_capacity
-        )
+    else:
+        route_src = jnp.where(bus_to_work, world.home_oa, world.work_oa)
+        route_dst = jnp.where(bus_to_work, world.work_oa, world.home_oa)
+        route_key = route_src * jnp.int32(world.n_output_areas) + route_dst
+
+        def bus_branch(_):
+            is_inf = status == STATUS_INFECTED
+            return bus_infection_counts(
+                k_bus, on_bus, route_key, is_inf & on_bus, cfg.bus_capacity
+            )
 
     # Buses are formed per device shard: with citizens sharded by home-OA
     # blocks, same-route riders are almost always co-resident.  (A global

@@ -49,6 +49,7 @@ def pad_world_for_mesh(world: World, n_devices: int) -> World:
     contribute to or receive exposure (their state is set Recovered in
     :func:`pad_state_for_mesh`, and Recovered is terminal).
     """
+    world = world.without_index_tables()
     n = world.n_citizens
     rem = (-n) % n_devices
     if rem == 0:

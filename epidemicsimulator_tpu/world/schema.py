@@ -65,17 +65,37 @@ class World:
     n_rooms: int = dataclasses.field(metadata=dict(static=True))
     n_output_areas: int = dataclasses.field(metadata=dict(static=True))
 
+    # --- derived index tables (built by build_index_tables) ---------------
+    # Mixing-group membership is static, so infection pressure needs no
+    # scatter: citizens are kept sorted by home_building, a static
+    # permutation sorts them by (work_building, room), and per-citizen
+    # [start, end) ranges into prefix sums replace segment_sum on the hot
+    # path (scatters are the slow op on TPU; gathers + cumsum are fast).
+    home_lo: Any = None        # int32 (N,), household range start (citizen order)
+    home_hi: Any = None        # int32 (N,), household range end (exclusive)
+    work_perm: Any = None      # int32 (N,), citizen ids sorted by (work_building, room)
+    wb_lo: Any = None          # int32 (N,), work-building range start in work_perm order
+    wb_hi: Any = None          # int32 (N,)
+    room_lo: Any = None        # int32 (N,), room range (school citizens; == work range otherwise)
+    room_hi: Any = None        # int32 (N,)
+    rider_perm: Any = None     # int32 (R,), transport users sorted by (home_oa, work_oa)
+    rider_route: Any = None    # int32 (R,), dense route id per rider (undirected pairing
+                               # of the static home->work commute; same grouping serves
+                               # both travel directions)
+
     @property
     def n_citizens(self) -> int:
         return self.age.shape[-1]
 
+    CORE_LANES = (
+        "age", "occupation", "home_building", "work_building", "home_oa",
+        "work_oa", "room", "is_school_work", "uses_transport",
+        "mask_compliant", "work_start", "work_end",
+    )
+
     def validate(self) -> None:
         n = self.n_citizens
-        for name in (
-            "age", "occupation", "home_building", "work_building", "home_oa",
-            "work_oa", "room", "is_school_work", "uses_transport",
-            "mask_compliant", "work_start", "work_end",
-        ):
+        for name in self.CORE_LANES:
             arr = getattr(self, name)
             assert arr.shape[-1] == n, f"{name}: {arr.shape} != ({n},)"
         hb = np.asarray(self.home_building)
@@ -92,6 +112,91 @@ class World:
     def device_put(self) -> "World":
         return jax.tree.map(jnp.asarray, self)
 
+    @property
+    def has_index_tables(self) -> bool:
+        return self.home_lo is not None
+
+    def without_index_tables(self) -> "World":
+        """Drop the derived tables (used by the sharded path, which slices
+        per-citizen lanes across devices — global index tables don't shard)."""
+        return dataclasses.replace(
+            self,
+            home_lo=None, home_hi=None, work_perm=None, wb_lo=None, wb_hi=None,
+            room_lo=None, room_hi=None, rider_perm=None, rider_route=None,
+        )
+
+    def build_index_tables(self) -> "World":
+        """Host-side construction of the static prefix-sum index tables.
+
+        Requires citizens sorted by home_building (make_world canonicalises).
+        """
+        hb = np.asarray(self.home_building, np.int64)
+        wb = np.asarray(self.work_building, np.int64)
+        rm = np.asarray(self.room, np.int64)
+        n = len(hb)
+        assert (np.diff(hb) >= 0).all(), "citizens must be sorted by home_building"
+
+        # Household ranges in citizen order.
+        counts = np.bincount(hb, minlength=self.n_buildings)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        home_lo = starts[hb]
+        home_hi = home_lo + counts[hb]
+
+        # Work order: stable sort by (work_building, room); rooms are
+        # globally unique within a school so room ranges nest inside the
+        # school's building range.
+        work_perm = np.lexsort((rm, wb)).astype(np.int64)
+        wb_sorted = wb[work_perm]
+        rm_sorted = rm[work_perm]
+        wcounts = np.bincount(wb_sorted, minlength=self.n_buildings)
+        wstarts = np.concatenate([[0], np.cumsum(wcounts)[:-1]])
+        wb_lo = wstarts[wb]
+        wb_hi = wb_lo + wcounts[wb]
+
+        # Room ranges (positions in work_perm order).  Key rooms by
+        # (building, room) to keep the sentinel room distinct per workplace.
+        pair = wb_sorted * (self.n_rooms + 2) + rm_sorted
+        boundary = np.empty(n, np.bool_)
+        if n:
+            boundary[0] = True
+            boundary[1:] = pair[1:] != pair[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(boundary, idx, 0))
+        # run length per position, then scatter to citizen order
+        run_id = np.cumsum(boundary) - 1
+        run_len = np.bincount(run_id)
+        room_lo_sorted = seg_start
+        room_hi_sorted = seg_start + run_len[run_id]
+        room_lo = np.empty(n, np.int64)
+        room_hi = np.empty(n, np.int64)
+        room_lo[work_perm] = room_lo_sorted
+        room_hi[work_perm] = room_hi_sorted
+
+        # Riders: transport users sorted by their static (home_oa, work_oa)
+        # commute pair; the same grouping serves both directions.
+        ut = np.asarray(self.uses_transport)
+        riders = np.flatnonzero(ut)
+        route_key = (
+            np.asarray(self.home_oa, np.int64)[riders] * self.n_output_areas
+            + np.asarray(self.work_oa, np.int64)[riders]
+        )
+        order = np.argsort(route_key, kind="stable")
+        rider_perm = riders[order]
+        _, rider_route = np.unique(route_key[order], return_inverse=True)
+
+        return dataclasses.replace(
+            self,
+            home_lo=home_lo.astype(np.int32),
+            home_hi=home_hi.astype(np.int32),
+            work_perm=work_perm.astype(np.int32),
+            wb_lo=wb_lo.astype(np.int32),
+            wb_hi=wb_hi.astype(np.int32),
+            room_lo=room_lo.astype(np.int32),
+            room_hi=room_hi.astype(np.int32),
+            rider_perm=rider_perm.astype(np.int32),
+            rider_route=rider_route.astype(np.int32),
+        )
+
     # ------------------------------------------------------------------
     # (De)serialisation — the preprocessing cache, the TPU analog of the
     # reference's bincode OSM cache (osm_data/src/lib.rs:395-474).
@@ -100,7 +205,7 @@ class World:
         arrays = {
             f.name: np.asarray(getattr(self, f.name))
             for f in dataclasses.fields(self)
-            if not f.metadata.get("static")
+            if not f.metadata.get("static") and getattr(self, f.name) is not None
         }
         np.savez_compressed(
             path,
@@ -151,6 +256,23 @@ def make_world(
             x = np.full(n, x)
         return np.ascontiguousarray(x).astype(dtype)
 
+    # Canonical citizen order: sorted by home_building (households
+    # contiguous) so household infection pressure is a prefix-sum range.
+    hb = np.asarray(home_building)
+    if n and (np.diff(hb) < 0).any():
+        order = np.argsort(hb, kind="stable")
+        (age, occupation, home_building, work_building, home_oa, work_oa,
+         room, is_school_work, uses_transport, mask_compliant) = (
+            np.asarray(x)[order]
+            for x in (age, occupation, home_building, work_building, home_oa,
+                      work_oa, room, is_school_work, uses_transport,
+                      mask_compliant)
+        )
+        if not np.isscalar(work_start):
+            work_start = np.asarray(work_start)[order]
+        if not np.isscalar(work_end):
+            work_end = np.asarray(work_end)[order]
+
     world = World(
         age=lane(age, np.int16),
         occupation=lane(occupation, np.int8),
@@ -169,4 +291,4 @@ def make_world(
         n_output_areas=int(n_output_areas),
     )
     world.validate()
-    return world
+    return world.build_index_tables()
