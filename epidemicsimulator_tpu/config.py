@@ -193,6 +193,9 @@ class SimConfig:
     max_steps: int = 5000
     chunk_size: int = 250
     record_exposures_per_oa: bool = True
+    #: Dispatch single-device steps to the gather-free fast path
+    #: (engine/fastpath.py) when the world carries fast tables.
+    use_fast_path: bool = True
     reference_mask_semantics: bool = True
     #: Replicate the reference's `exposure_total as u8` truncation
     #: (citizen.rs:239): infected counts wrap modulo 256 in the binomial.

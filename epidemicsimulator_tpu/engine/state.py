@@ -47,6 +47,13 @@ class SimState:
     mask_status: Any     # int8 MASK_* (interventions.rs:142-180)
     rng_key: Any         # jax PRNG key for the step's draws
 
+    # fast-path twins of at_work/on_bus maintained in work order (the fast
+    # step evolves them with the same schedule rules on the work-permuted
+    # static lanes, avoiding a runtime permutation).  Shape (N,) when the
+    # world has fast tables, (0,) otherwise.
+    at_work_ws: Any = None
+    on_bus_ws: Any = None
+
 
 def init_state(
     world: World,
@@ -74,6 +81,7 @@ def init_state(
             continue
         status[rng.choice(members)] = STATUS_INFECTED
 
+    n_ws = n if getattr(world, "has_fast_tables", False) else 0
     return SimState(
         status=jnp.asarray(status),
         timer=jnp.zeros(n, jnp.int16),
@@ -81,6 +89,8 @@ def init_state(
         on_bus=jnp.zeros(n, jnp.bool_),
         bus_to_work=jnp.zeros(n, jnp.bool_),
         eligible=jnp.zeros(n, jnp.bool_),
+        at_work_ws=jnp.zeros(n_ws, jnp.bool_),
+        on_bus_ws=jnp.zeros(n_ws, jnp.bool_),
         hour=jnp.asarray(0, jnp.int32),
         lockdown=jnp.asarray(False),
         vaccination_started=jnp.asarray(False),

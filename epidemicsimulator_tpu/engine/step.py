@@ -64,7 +64,15 @@ def step(
     ``lax.psum`` over the axis (the TPU analog of the reference's cross-OA
     migration merge, simulator.rs:218-257 — except no agent state ever
     moves, only B-sized count tables ride the ICI).
+
+    Single-device calls dispatch to the gather-free fast path
+    (engine/fastpath.py) when the world carries fast tables and
+    ``cfg.use_fast_path`` is set.
     """
+    if axis_name is None and cfg.use_fast_path and world.has_fast_tables:
+        from .fastpath import fast_step
+
+        return fast_step(world, params, cfg, state)
     d = params.disease
     th = params.thresholds
     n = world.n_citizens
@@ -408,6 +416,8 @@ def step(
         on_bus=on_bus,
         bus_to_work=bus_to_work,
         eligible=eligible,
+        at_work_ws=state.at_work_ws,
+        on_bus_ws=state.on_bus_ws,
         hour=hour,
         lockdown=lockdown,
         vaccination_started=vaccination_started,

@@ -1,0 +1,55 @@
+"""Run-sum primitives: segment totals over contiguous runs without gathers.
+
+TPU gathers/scatters are per-index serial (~7ns/element — measured, see
+ops/README in docs/PERF.md), so the hot loop computes per-mixing-group
+infected counts as *contiguous-run* totals using only cumulative scans and
+elementwise ops.  For a lane of nonnegative values whose groups form
+contiguous runs (static boundary masks):
+
+    cs  = inclusive cumsum           (monotone nondecreasing)
+    cse = cs - v                     (exclusive prefix)
+    start_prefix[i] = cse at i's run start  = cummax(start ? cse : -1)
+    end_prefix[i]   = cs at i's run end     = reverse-cummin(end ? cs : MAX)
+    run_total[i]    = end_prefix[i] - start_prefix[i]
+
+Monotonicity of cs makes the masked cummax/cummin pick exactly the nearest
+boundary on each side.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_I32_MAX = jnp.int32(2**31 - 1)
+
+
+def run_totals(values_i32, start_mask, end_mask):
+    """Per-element total of the element's run.  values >= 0, runs static."""
+    v = jnp.asarray(values_i32, jnp.int32)
+    cs = jnp.cumsum(v)
+    cse = cs - v
+    start_prefix = jax.lax.cummax(jnp.where(start_mask, cse, -1))
+    end_prefix = jax.lax.cummin(
+        jnp.where(end_mask, cs, _I32_MAX), reverse=True
+    )
+    return end_prefix - start_prefix
+
+
+def range_totals(values_i32, lo, hi):
+    """Totals of [lo, hi) ranges (static positions, e.g. one per output
+    area).  One cumsum + two small gathers of len(lo) elements."""
+    v = jnp.asarray(values_i32, jnp.int32)
+    cs0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(v)])
+    return jnp.take(cs0, hi) - jnp.take(cs0, lo)
+
+
+def permute_by_sort(static_rank, payload_i8):
+    """Reorder ``payload`` so element with rank r lands at position r.
+
+    ``static_rank`` is a compile-time-constant permutation lane; a key-sort
+    is the fastest general static permutation available through XLA on TPU
+    (measured ~3x cheaper than an equivalent gather at 3.5M elements).
+    """
+    _, out = jax.lax.sort((static_rank, payload_i8), num_keys=1)
+    return out

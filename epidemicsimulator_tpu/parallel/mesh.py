@@ -103,7 +103,10 @@ def _world_specs(world: World) -> World:
 
 
 def _state_specs(state: SimState) -> SimState:
-    lane_fields = {"status", "timer", "at_work", "on_bus", "bus_to_work", "eligible"}
+    lane_fields = {
+        "status", "timer", "at_work", "on_bus", "bus_to_work", "eligible",
+        "at_work_ws", "on_bus_ws",
+    }
     return SimState(
         **{
             f: P(AXIS) if f in lane_fields else P()
@@ -170,6 +173,13 @@ def run_sharded(
     """Sharded analog of engine.scan.run with host early exit."""
     n_dev = mesh.devices.size
     world = pad_world_for_mesh(world, n_dev)
+    # The sharded step uses the portable formulation; drop the work-order
+    # twin lanes (they are fast-path-only and don't shard meaningfully).
+    state = dataclasses.replace(
+        state,
+        at_work_ws=jnp.zeros((0,), jnp.bool_),
+        on_bus_ws=jnp.zeros((0,), jnp.bool_),
+    )
     state = pad_state_for_mesh(state, world.n_citizens)
     world, state = shard_inputs(world, state, mesh)
     chunk_fn = make_sharded_chunk_runner(world, cfg, mesh)

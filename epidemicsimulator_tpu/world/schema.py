@@ -83,6 +83,33 @@ class World:
                                # of the static home->work commute; same grouping serves
                                # both travel directions)
 
+    # --- fast-path tables (build_fast_tables) -----------------------------
+    # TPU random access (gather/scatter) is per-index serial (~7ns/elem), so
+    # the hot loop avoids it entirely: run sums via boundary-masked scans,
+    # citizen<->work-order movement via two static-key sorts, per-OA stats
+    # via cumsum + tiny static gathers at OA boundaries.
+    wpos: Any = None           # int32 (N,), rank of citizen in work order
+    home_start_mask: Any = None   # bool (N,), first citizen of each household run
+    home_end_mask: Any = None     # bool (N,), last citizen of each household run
+    ws_wb_start_mask: Any = None  # bool (N,), ws order: first of work-building run
+    ws_wb_end_mask: Any = None    # bool (N,), ws order: last of work-building run
+    ws_room_start_mask: Any = None  # bool (N,), ws order: first of room run
+    ws_room_end_mask: Any = None    # bool (N,), ws order: last of room run
+    # ws-order copies of static per-citizen lanes
+    ws_home_oa: Any = None
+    ws_work_oa: Any = None
+    ws_mask_compliant: Any = None
+    ws_is_school: Any = None
+    ws_work_neq_home: Any = None
+    ws_uses_transport: Any = None
+    ws_work_start: Any = None
+    ws_work_end: Any = None
+    # per-OA cumulative-range positions: counts for OA o are cs[hi[o]]-cs[lo[o]]
+    oa_lo: Any = None          # int32 (n_oa,), citizen order (home OA runs)
+    oa_hi: Any = None
+    ws_oa_lo: Any = None       # int32 (n_oa,), ws order (work-building OA runs)
+    ws_oa_hi: Any = None
+
     @property
     def n_citizens(self) -> int:
         return self.age.shape[-1]
@@ -119,11 +146,12 @@ class World:
     def without_index_tables(self) -> "World":
         """Drop the derived tables (used by the sharded path, which slices
         per-citizen lanes across devices — global index tables don't shard)."""
-        return dataclasses.replace(
-            self,
-            home_lo=None, home_hi=None, work_perm=None, wb_lo=None, wb_hi=None,
-            room_lo=None, room_hi=None, rider_perm=None, rider_route=None,
-        )
+        derived = {
+            f.name: None
+            for f in dataclasses.fields(self)
+            if f.name not in self.CORE_LANES and not f.metadata.get("static")
+        }
+        return dataclasses.replace(self, **derived)
 
     def build_index_tables(self) -> "World":
         """Host-side construction of the static prefix-sum index tables.
@@ -184,7 +212,7 @@ class World:
         rider_perm = riders[order]
         _, rider_route = np.unique(route_key[order], return_inverse=True)
 
-        return dataclasses.replace(
+        out = dataclasses.replace(
             self,
             home_lo=home_lo.astype(np.int32),
             home_hi=home_hi.astype(np.int32),
@@ -195,6 +223,86 @@ class World:
             room_hi=room_hi.astype(np.int32),
             rider_perm=rider_perm.astype(np.int32),
             rider_route=rider_route.astype(np.int32),
+        )
+        return out.build_fast_tables()
+
+    @property
+    def has_fast_tables(self) -> bool:
+        return self.wpos is not None
+
+    def build_fast_tables(self) -> "World":
+        """Boundary masks, ws-order static lanes and per-OA range positions
+        for the scan-based hot loop (no large gathers/scatters at runtime)."""
+        n = self.n_citizens
+        hb = np.asarray(self.home_building, np.int64)
+        wp = np.asarray(self.work_perm, np.int64)
+        wb_ws = np.asarray(self.work_building, np.int64)[wp]
+        rm_ws = np.asarray(self.room, np.int64)[wp]
+
+        wpos = np.empty(n, np.int64)
+        wpos[wp] = np.arange(n)
+
+        def run_masks(keys):
+            start = np.empty(len(keys), np.bool_)
+            end = np.empty(len(keys), np.bool_)
+            if len(keys):
+                start[0] = True
+                start[1:] = keys[1:] != keys[:-1]
+                end[-1] = True
+                end[:-1] = keys[1:] != keys[:-1]
+            return start, end
+
+        h_s, h_e = run_masks(hb)
+        wb_s, wb_e = run_masks(wb_ws)
+        pair_ws = wb_ws * (self.n_rooms + 2) + rm_ws
+        rm_s, rm_e = run_masks(pair_ws)
+
+        # Per-OA cumulative ranges.  Requires home_oa runs contiguous in
+        # citizen order and work-building OAs contiguous in ws order —
+        # guaranteed by the canonical ordering (buildings numbered by OA).
+        ho = np.asarray(self.home_oa, np.int64)
+        wo_ws = np.asarray(self.work_oa, np.int64)[wp]
+
+        def oa_ranges(oas, order_name):
+            counts = np.bincount(oas, minlength=self.n_output_areas)
+            hi = np.cumsum(counts)
+            lo = hi - counts
+            # contiguity check: sorted ids must reproduce the lane
+            if not (np.diff(oas) >= 0).all():
+                return None, None
+            return lo, hi
+
+        oa_lo, oa_hi = oa_ranges(ho, "citizen")
+        ws_oa_lo, ws_oa_hi = oa_ranges(wo_ws, "ws")
+        if oa_lo is None or ws_oa_lo is None:
+            # Non-canonical ordering: fast per-OA stats unavailable; the
+            # engine falls back to segment_sum for exposures_per_oa.
+            oa_lo = oa_hi = ws_oa_lo = ws_oa_hi = None
+
+        i32 = lambda x: None if x is None else x.astype(np.int32)
+        return dataclasses.replace(
+            self,
+            wpos=wpos.astype(np.int32),
+            home_start_mask=h_s,
+            home_end_mask=h_e,
+            ws_wb_start_mask=wb_s,
+            ws_wb_end_mask=wb_e,
+            ws_room_start_mask=rm_s,
+            ws_room_end_mask=rm_e,
+            ws_home_oa=np.asarray(self.home_oa)[wp],
+            ws_work_oa=np.asarray(self.work_oa)[wp],
+            ws_mask_compliant=np.asarray(self.mask_compliant)[wp],
+            ws_is_school=np.asarray(self.is_school_work)[wp],
+            ws_work_neq_home=(
+                np.asarray(self.work_building) != np.asarray(self.home_building)
+            )[wp],
+            ws_uses_transport=np.asarray(self.uses_transport)[wp],
+            ws_work_start=np.asarray(self.work_start)[wp],
+            ws_work_end=np.asarray(self.work_end)[wp],
+            oa_lo=i32(oa_lo),
+            oa_hi=i32(oa_hi),
+            ws_oa_lo=i32(ws_oa_lo),
+            ws_oa_hi=i32(ws_oa_hi),
         )
 
     # ------------------------------------------------------------------

@@ -1,0 +1,89 @@
+"""Fast path (scan/sort formulation) vs portable step: exact agreement.
+
+With exposure_chance=1.0 every positive-pressure draw succeeds, so exposure
+becomes deterministic and the two formulations must produce bitwise-identical
+state trajectories (transport disabled: bus composition is genuinely random
+and is covered by the distributional oracle tests instead)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from epidemicsimulator_tpu import Params, SimConfig, generate_synthetic_world
+from epidemicsimulator_tpu.config import STATUS_INFECTED
+from epidemicsimulator_tpu.engine.state import init_state
+from epidemicsimulator_tpu.engine.step import step
+from epidemicsimulator_tpu.ops.runsums import run_totals
+
+
+def test_run_totals_matches_segment_sum():
+    rng = np.random.default_rng(0)
+    n = 10_000
+    # random contiguous runs
+    sizes = rng.integers(1, 40, 600)
+    ids = np.repeat(np.arange(len(sizes)), sizes)[:n]
+    ids = ids[: n // 1]
+    n = len(ids)
+    start = np.r_[True, ids[1:] != ids[:-1]]
+    end = np.r_[ids[1:] != ids[:-1], True]
+    v = rng.integers(0, 3, n).astype(np.int32)
+    got = np.asarray(
+        jax.jit(run_totals)(jnp.asarray(v), jnp.asarray(start), jnp.asarray(end))
+    )
+    want = np.bincount(ids, weights=v)[ids].astype(np.int32)
+    assert (got == want).all()
+
+
+@pytest.mark.parametrize("steps", [60])
+def test_fast_and_portable_steps_agree_deterministically(steps):
+    world = generate_synthetic_world(3000, n_output_areas=6, seed=4)
+    # disable transport for determinism
+    world = dataclasses.replace(
+        world,
+        uses_transport=np.zeros(world.n_citizens, bool),
+        ws_uses_transport=np.zeros(world.n_citizens, bool),
+        rider_perm=np.zeros(0, np.int32),
+        rider_route=np.zeros(0, np.int32),
+    )
+    base = Params.covid()
+    params = Params(
+        dataclasses.replace(
+            base.disease, exposure_chance=1.0, exposed_time=6, infected_time=12,
+            vaccination_rate=0,
+        ),
+        dataclasses.replace(base.thresholds, vaccination=-1.0),
+    ).as_arrays()
+
+    trajs = []
+    for fast in (True, False):
+        cfg = SimConfig(use_fast_path=fast, max_vaccinations_per_step=1)
+        st = init_state(world, seed=0, starting_infected=0)
+        status0 = np.zeros(world.n_citizens, np.int8)
+        status0[::307] = STATUS_INFECTED
+        st = dataclasses.replace(st, status=jnp.asarray(status0))
+        wd = world.device_put()
+        jstep = jax.jit(lambda w, p, s: step(w, p, cfg, s))
+        rows = []
+        for _ in range(steps):
+            st, out = jstep(wd, params, st)
+            rows.append(
+                (
+                    np.asarray(st.status).copy(),
+                    np.asarray(st.at_work).copy(),
+                    np.asarray(out.seirv).copy(),
+                    np.asarray(out.exposures_per_oa).copy(),
+                    bool(out.lockdown),
+                    int(out.mask_status),
+                )
+            )
+        trajs.append(rows)
+
+    for t, (a, b) in enumerate(zip(*trajs)):
+        assert (a[0] == b[0]).all(), f"status diverged at step {t + 1}"
+        assert (a[1] == b[1]).all(), f"at_work diverged at step {t + 1}"
+        assert (a[2] == b[2]).all(), f"seirv diverged at step {t + 1}: {a[2]} vs {b[2]}"
+        assert (a[3] == b[3]).all(), f"per-OA exposures diverged at step {t + 1}"
+        assert a[4] == b[4] and a[5] == b[5]
