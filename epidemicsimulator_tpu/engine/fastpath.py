@@ -217,7 +217,7 @@ def fast_step(world: World, params: Params, cfg: SimConfig, state: SimState):
 
     n_new = jnp.sum(newly_exposed.astype(jnp.int32))
     n_bus_exp = jnp.sum(from_bus.astype(jnp.int32))
-    if cfg.record_exposures_per_oa and world.oa_lo is not None:
+    if cfg.record_exposures_per_oa and world.oa_lo.shape[0] > 0:
         oa_home = range_totals(hit_home, world.oa_lo, world.oa_hi)
         oa_work = range_totals(from_work_ws, world.ws_oa_lo, world.ws_oa_hi)
         exposures_per_oa = oa_home + oa_work

@@ -141,13 +141,17 @@ class World:
 
     @property
     def has_index_tables(self) -> bool:
-        return self.home_lo is not None
+        return self.home_lo is not None and np.size(self.home_lo) > 0
 
     def without_index_tables(self) -> "World":
         """Drop the derived tables (used by the sharded path, which slices
         per-citizen lanes across devices — global index tables don't shard)."""
+        # Size-0 placeholders, not None: mixing None and array leaves for
+        # the same field across jit calls trips a pytree cache collision in
+        # the dispatch fast path ("supplied N buffers but compiled program
+        # expected M").
         derived = {
-            f.name: None
+            f.name: np.zeros(0, np.int32)
             for f in dataclasses.fields(self)
             if f.name not in self.CORE_LANES and not f.metadata.get("static")
         }
@@ -228,7 +232,7 @@ class World:
 
     @property
     def has_fast_tables(self) -> bool:
-        return self.wpos is not None
+        return self.wpos is not None and np.size(self.wpos) > 0
 
     def build_fast_tables(self) -> "World":
         """Boundary masks, ws-order static lanes and per-OA range positions
@@ -277,9 +281,10 @@ class World:
         if oa_lo is None or ws_oa_lo is None:
             # Non-canonical ordering: fast per-OA stats unavailable; the
             # engine falls back to segment_sum for exposures_per_oa.
-            oa_lo = oa_hi = ws_oa_lo = ws_oa_hi = None
+            empty = np.zeros(0, np.int64)
+            oa_lo = oa_hi = ws_oa_lo = ws_oa_hi = empty
 
-        i32 = lambda x: None if x is None else x.astype(np.int32)
+        i32 = lambda x: x.astype(np.int32)
         return dataclasses.replace(
             self,
             wpos=wpos.astype(np.int32),
