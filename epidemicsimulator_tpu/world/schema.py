@@ -369,6 +369,22 @@ def make_world(
             x = np.full(n, x)
         return np.ascontiguousarray(x).astype(dtype)
 
+    # Canonical building numbering: OA-major.  Makes OA runs contiguous in
+    # BOTH engine orders (citizen order via home_building, work order via
+    # work_building), so per-OA statistics are cumulative ranges instead of
+    # segment_sum scatters.  Building ids are internal — relabeling is free.
+    hb0 = np.asarray(home_building, np.int64)
+    wb0 = np.asarray(work_building, np.int64)
+    if n:
+        b_oa = np.zeros(int(n_buildings), np.int64)
+        b_oa[wb0] = np.asarray(work_oa, np.int64)
+        b_oa[hb0] = np.asarray(home_oa, np.int64)
+        order_b = np.argsort(b_oa, kind="stable")
+        new_id = np.empty(int(n_buildings), np.int64)
+        new_id[order_b] = np.arange(int(n_buildings))
+        home_building = new_id[hb0]
+        work_building = new_id[wb0]
+
     # Canonical citizen order: sorted by home_building (households
     # contiguous) so household infection pressure is a prefix-sum range.
     hb = np.asarray(home_building)

@@ -96,11 +96,13 @@ def test_no_exposure_across_oa_gate():
     # Infected positioned at work in OA 1; susceptible colleague is at home
     # in OA 0 -> the reference skips citizens outside the building's area
     # (simulator.rs:323-325).
+    # c0 lives+works in OA 0 (infected, at work); c1 lives in OA 1 but works
+    # at c0's workplace in OA 0 and is at home -> outside the building's OA.
     w = micro_world(
-        home_building=[0, 1],
-        work_building=[2, 2],
-        home_oa=[1, 0],
-        work_oa=[1, 1],
+        home_building=[0, 2],
+        work_building=[1, 1],
+        home_oa=[0, 1],
+        work_oa=[0, 0],
         n_buildings=3,
         n_output_areas=2,
     ).device_put()
