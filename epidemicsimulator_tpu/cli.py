@@ -1,0 +1,171 @@
+"""Command-line driver: the `run` crate equivalent (run/src/main.rs:68-167).
+
+Modes (mutually exclusive, like the reference's clap flags):
+
+  --download            fetch the four census tables from NOMIS
+  --resume ROW --table T  resume a partial table download
+  --simulate            build/load the world and run the epidemic
+  --render              render the OA map PNG
+  --visualise-buildings scatter the classified OSM buildings
+  --visualise           buildings + output areas overlay
+  --synthetic N         use a synthetic world of N citizens (no data files)
+
+Shared flags: positional area code, --directory (data dir), --use-cache,
+--output-name, --seed, --max-steps.
+
+Examples:
+  python -m epidemicsimulator_tpu.cli 1946157112 --directory data --simulate
+  python -m epidemicsimulator_tpu.cli york --synthetic 200000 --simulate
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="epidemicsimulator-tpu",
+        description="TPU-native epidemic simulation using census data",
+    )
+    p.add_argument("area", help="NOMIS area code (e.g. 1946157112 for York) or a label")
+    p.add_argument("--directory", default="data", help="data directory")
+    p.add_argument("--grid-size", type=int, default=700_000,
+                   help="accepted for reference-CLI parity; unused (geometry is metric)")
+    p.add_argument("--use-cache", action="store_true",
+                   help="reuse the preprocessed world .npz if present")
+    p.add_argument("--allow-download", action="store_true")
+    p.add_argument("--simulate", action="store_true")
+    p.add_argument("--download", action="store_true")
+    p.add_argument("--resume", type=int, default=None, metavar="ROW")
+    p.add_argument("--table", default=None)
+    p.add_argument("--render", action="store_true")
+    p.add_argument("--visualise", action="store_true")
+    p.add_argument("--visualise-buildings", action="store_true")
+    p.add_argument("--synthetic", type=int, default=None, metavar="N_CITIZENS")
+    p.add_argument("--output-name", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-steps", type=int, default=5000)
+    p.add_argument("--chunk-size", type=int, default=250)
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="steps between device-state snapshots (0 = off)")
+    p.add_argument("--pbf", default=None, help="OSM .pbf extract path")
+    p.add_argument("--shapefile", default=None, help="OA boundary shapefile path")
+    return p
+
+
+def _world_cache_path(args) -> str:
+    return os.path.join(args.directory, f"world_{args.area}.npz")
+
+
+def load_or_build_world(args):
+    from .world.schema import World
+
+    cache = _world_cache_path(args)
+    if args.use_cache and os.path.exists(cache):
+        logging.info("loading cached world from %s", cache)
+        return World.load_npz(cache), None
+
+    if args.synthetic:
+        from .world.synthetic import generate_synthetic_world
+
+        world = generate_synthetic_world(
+            args.synthetic, n_output_areas=max(4, args.synthetic // 300),
+            seed=args.seed,
+        )
+        world.save_npz(cache) if os.path.isdir(args.directory) else None
+        return world, None
+
+    # full pipeline: census CSVs + OSM pbf + OA shapefile
+    from .data.census.container import load_census_data
+    from .data.geo.convert import wgs84_to_national_grid
+    from .data.osm.native import parse_pbf
+    from .data.osm.shapefile import read_polygons
+    from .world.preprocess.builder import (
+        OSMBuildings,
+        build_world,
+        dedupe_close_buildings,
+    )
+
+    census = load_census_data(args.directory)
+    shp = args.shapefile or os.path.join(
+        args.directory, "census_map_areas_converted", f"{args.area}.shp"
+    )
+    codes, rings, starts = read_polygons(shp)
+    pbf = args.pbf or os.path.join(args.directory, f"{args.area}.osm.pbf")
+    classes, lats, lons, areas = parse_pbf(pbf)
+    east, north = wgs84_to_national_grid(lats, lons)
+    keep = dedupe_close_buildings(classes, east, north)
+    osm = OSMBuildings(
+        classes=classes[keep], east=east[keep], north=north[keep],
+        areas=areas[keep],
+    )
+    world = build_world(census, osm, rings, starts, codes, seed=args.seed)
+    world.save_npz(cache)
+    return world, (rings, starts)
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=os.environ.get("LOG_LEVEL", "INFO"),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    args = make_parser().parse_args(argv)
+
+    if args.download or args.resume is not None:
+        from .data.census.nomis import (
+            GEOGRAPHY_CODES,
+            download_all_tables,
+            download_table,
+        )
+        from .data.census.tables import CensusTable, TABLE_SPECS
+
+        os.makedirs(args.directory, exist_ok=True)
+        if args.resume is not None:
+            table = CensusTable[args.table] if args.table else CensusTable.AGE_STRUCTURE
+            dest = os.path.join(args.directory, TABLE_SPECS[table].filename)
+            download_table(
+                table, GEOGRAPHY_CODES.get(args.area, args.area), dest,
+                resume_from_row=args.resume,
+            )
+        else:
+            download_all_tables(args.directory, args.area)
+        return 0
+
+    world, geometry = load_or_build_world(args)
+
+    if args.render or args.visualise or args.visualise_buildings:
+        from .viz.maps import draw_buildings_and_output_areas, draw_output_areas
+
+        out = args.output_name or f"{args.area}_map.png"
+        if geometry is None:
+            logging.error("visualisation needs the boundary shapefile")
+            return 1
+        rings, starts = geometry
+        draw_output_areas(out, rings, starts)
+        logging.info("wrote %s", out)
+        return 0
+
+    if args.simulate:
+        from .config import Params, SimConfig
+        from .engine.simulator import Simulator
+
+        cfg = SimConfig(max_steps=args.max_steps, chunk_size=args.chunk_size)
+        sim = Simulator(world, Params.covid(), cfg, seed=args.seed)
+        out_dir = args.output_name or os.path.join(
+            "statistics_output", f"{args.area}_{int(time.time())}"
+        )
+        sim.simulate(out_dir + os.sep)
+        logging.info("results dumped to %s", out_dir)
+        return 0
+
+    logging.warning("no mode selected; try --simulate")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,133 @@
+"""Visualisation + CLI smoke tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from epidemicsimulator_tpu import generate_synthetic_world
+
+
+@pytest.fixture(scope="module")
+def world():
+    return generate_synthetic_world(3000, n_output_areas=6, seed=0)
+
+
+def test_draw_output_areas(tmp_path):
+    from epidemicsimulator_tpu.viz.maps import draw_output_areas
+
+    rings = np.array(
+        [(0, 0), (1, 0), (1, 1), (0, 1), (1, 0), (2, 0), (2, 1), (1, 1)], float
+    )
+    starts = np.array([0, 4, 8], np.int64)
+    out = draw_output_areas(
+        str(tmp_path / "oa.png"), rings, starts, values=np.array([1.0, 5.0])
+    )
+    assert os.path.getsize(out) > 1000
+
+
+def test_draw_buildings(tmp_path):
+    from epidemicsimulator_tpu.viz.maps import draw_buildings
+
+    rng = np.random.default_rng(0)
+    out = draw_buildings(
+        str(tmp_path / "b.png"),
+        rng.uniform(0, 100, 500),
+        rng.uniform(0, 100, 500),
+        rng.integers(0, 5, 500),
+    )
+    assert os.path.getsize(out) > 1000
+
+
+def test_seirv_plot(tmp_path):
+    from epidemicsimulator_tpu.viz.maps import plot_seirv_curves
+
+    t = np.arange(100)
+    seirv = np.stack(
+        [1000 - t * 5, t * 2, t * 2, t, np.zeros_like(t)], axis=1
+    )
+    out = plot_seirv_curves(str(tmp_path / "curves.png"), seirv)
+    assert os.path.getsize(out) > 1000
+
+
+def test_contact_graphs(world):
+    from epidemicsimulator_tpu.viz.graphs import (
+        building_graph,
+        citizen_connections,
+        commuting_digraph,
+        connected_components_count,
+        dump_graphviz,
+    )
+
+    g = citizen_connections(world, max_citizens=1000)
+    assert g.number_of_nodes() == 1000
+    assert g.number_of_edges() > 0
+    assert connected_components_count(g) >= 1
+
+    dg = commuting_digraph(world)
+    assert dg.number_of_nodes() <= world.n_output_areas
+    total_weight = sum(d["weight"] for _, _, d in dg.edges(data=True))
+    assert total_weight == world.n_citizens
+
+    bg = building_graph(world, max_citizens=2000)
+    assert bg.number_of_edges() > 0
+
+
+def test_graphviz_dump(world, tmp_path):
+    from epidemicsimulator_tpu.viz.graphs import commuting_digraph, dump_graphviz
+
+    g = commuting_digraph(world)
+    p = dump_graphviz(g, str(tmp_path / "g.dot"))
+    text = open(p).read()
+    assert text.startswith("digraph") and "->" in text
+
+
+def test_cli_synthetic_simulate(tmp_path):
+    from epidemicsimulator_tpu.cli import main
+
+    out = str(tmp_path / "results")
+    rc = main(
+        [
+            "demo", "--synthetic", "2000", "--simulate",
+            "--max-steps", "48", "--chunk-size", "24",
+            "--directory", str(tmp_path), "--output-name", out,
+            "--seed", "3",
+        ]
+    )
+    assert rc == 0
+    stats = json.load(open(out + os.sep + "global_stats.json"))
+    # 48 steps + trailing zero entry (statistics.rs:113-116 final next())
+    assert len(stats) == 49
+    assert stats[0]["time_step"] == 1
+    assert stats[-1] == {
+        "time_step": 49, "susceptible": 0, "exposed": 0, "infected": 0,
+        "recovered": 0, "vaccinated": 0,
+    }
+    total = sum(stats[0][k] for k in ("susceptible", "exposed", "infected",
+                                      "recovered", "vaccinated"))
+    assert total == 2000
+    exposures = json.load(open(out + os.sep + "exposures.json"))
+    assert set(exposures) == {"All", "OutputArea", "PublicTransport"}
+    assert len(json.load(open(out + os.sep + "timings.json"))) == 48
+    assert len(json.load(open(out + os.sep + "memory.json"))) == 48
+
+
+def test_cli_download_url_only(tmp_path, monkeypatch):
+    # no network in this environment: assert the downloader wiring produces
+    # the right requests without performing them
+    import epidemicsimulator_tpu.data.census.nomis as nomis
+
+    calls = []
+
+    def fake_download(table, geography, dest, **kw):
+        calls.append((table, geography, dest))
+        open(dest, "w").write("stub")
+
+    monkeypatch.setattr(nomis, "download_table", fake_download)
+    from epidemicsimulator_tpu.cli import main
+
+    rc = main(["1946157112", "--download", "--directory", str(tmp_path)])
+    assert rc == 0
+    assert len(calls) == 4
+    assert all("1254162148" in c[1] for c in calls)  # York geography codes
