@@ -150,42 +150,63 @@ def fast_step(world: World, params: Params, cfg: SimConfig, state: SimState):
     susceptible = status == STATUS_SUSCEPTIBLE
     hit_home = susceptible & (jax.random.uniform(k_h, (n,)) < q_home)
 
-    # 5. ship (contrib_work, susceptible, hit_home) to work order
+    # 5-7. work side, gated: infected are positioned at work buildings only
+    #    during work hours (or frozen there by lockdown) — for the other
+    #    ~16/24 steps the whole block (two permutation sorts + scans) is a
+    #    no-op and lax.cond skips it.
     contrib_work = inf_active & at_work & work_neq_home
-    fwd = (
-        contrib_work.astype(jnp.int8)
-        | (susceptible.astype(jnp.int8) << 1)
-        | (hit_home.astype(jnp.int8) << 2)
-    )
-    fwd_ws = permute_by_sort(world.wpos, fwd)
-    contrib_w_ws = (fwd_ws & 1).astype(jnp.int32)
-    susc_ws = (fwd_ws & 2) != 0
-    hit_home_ws = (fwd_ws & 4) != 0
 
-    # 6. work-side pressure + draw, in work order (building.rs:278-280 for
-    #    workplaces; school room confinement + whole-school n per
-    #    building.rs:494-522 / simulator.rs:307-308)
-    n_w_ws = run_totals(contrib_w_ws, world.ws_wb_start_mask, world.ws_wb_end_mask)
-    room_ws = run_totals(contrib_w_ws, world.ws_room_start_mask, world.ws_room_end_mask)
-    draws_ws = jnp.where(world.ws_is_school, room_ws, (n_w_ws > 0).astype(jnp.int32))
-    p_ws = _exposure_p(
-        d.exposure_chance, d.mask_effectiveness, state.mask_status,
-        world.ws_mask_compliant, on_bus_ws, cfg.reference_mask_semantics,
-    )
-    cur_oa_ws = jnp.where(at_work_ws, world.ws_work_oa, world.ws_home_oa)
-    q_single = binomial_at_least_one(p_ws, trunc(n_w_ws))
-    q_work_ws = jnp.where(
-        (cur_oa_ws == world.ws_work_oa) & world.ws_work_neq_home,
-        -jnp.expm1(draws_ws.astype(jnp.float32) * jnp.log1p(-q_single)),
-        0.0,
-    )
-    hit_work_ws = susc_ws & (jax.random.uniform(k_w, (n,)) < q_work_ws)
-    from_work_ws = hit_work_ws & ~hit_home_ws
+    def work_side(args):
+        contrib_work, susceptible, hit_home = args
+        # ship (contrib_work, susceptible, hit_home) to work order
+        fwd = (
+            contrib_work.astype(jnp.int8)
+            | (susceptible.astype(jnp.int8) << 1)
+            | (hit_home.astype(jnp.int8) << 2)
+        )
+        fwd_ws = permute_by_sort(world.wpos, fwd)
+        contrib_w_ws = (fwd_ws & 1).astype(jnp.int32)
+        susc_ws = (fwd_ws & 2) != 0
+        hit_home_ws = (fwd_ws & 4) != 0
 
-    # 7. ship the work hit back to citizen order
-    hit_work = permute_by_sort(
-        world.work_perm, hit_work_ws.astype(jnp.int8)
-    ).astype(bool)
+        # work-order pressure + draw (building.rs:278-280 for workplaces;
+        # school room confinement + whole-school n per building.rs:494-522 /
+        # simulator.rs:307-308)
+        n_w_ws = run_totals(
+            contrib_w_ws, world.ws_wb_start_mask, world.ws_wb_end_mask
+        )
+        room_ws = run_totals(
+            contrib_w_ws, world.ws_room_start_mask, world.ws_room_end_mask
+        )
+        draws_ws = jnp.where(
+            world.ws_is_school, room_ws, (n_w_ws > 0).astype(jnp.int32)
+        )
+        p_ws = _exposure_p(
+            d.exposure_chance, d.mask_effectiveness, state.mask_status,
+            world.ws_mask_compliant, on_bus_ws, cfg.reference_mask_semantics,
+        )
+        cur_oa_ws = jnp.where(at_work_ws, world.ws_work_oa, world.ws_home_oa)
+        q_single = binomial_at_least_one(p_ws, trunc(n_w_ws))
+        q_work_ws = jnp.where(
+            (cur_oa_ws == world.ws_work_oa) & world.ws_work_neq_home,
+            -jnp.expm1(draws_ws.astype(jnp.float32) * jnp.log1p(-q_single)),
+            0.0,
+        )
+        hit_work_ws = susc_ws & (jax.random.uniform(k_w, (n,)) < q_work_ws)
+        from_work_ws = hit_work_ws & ~hit_home_ws
+
+        # ship the work hit back to citizen order
+        hit_work = permute_by_sort(
+            world.work_perm, hit_work_ws.astype(jnp.int8)
+        ).astype(bool)
+        return hit_work, from_work_ws
+
+    hit_work, from_work_ws = jax.lax.cond(
+        jnp.any(contrib_work),
+        work_side,
+        lambda args: (jnp.zeros((n,), bool), jnp.zeros((n,), bool)),
+        (contrib_work, susceptible, hit_home),
+    )
 
     # 8. bus side (rider-compacted; simulator.rs:360-401)
     def bus_branch(_):
