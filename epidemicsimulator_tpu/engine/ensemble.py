@@ -1,0 +1,91 @@
+"""Parameter ensembles: vmapped replicate sweeps in one compilation.
+
+The reference can only run one configuration per process; here disease
+parameters and intervention thresholds are traced pytrees, so a stacked
+``Params`` (leading replicate axis on every leaf) runs R simulations
+simultaneously on one chip — the BASELINE.md "64 vmapped disease-parameter
+replicates" target.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Params, SimConfig
+from ..world.schema import World
+from .state import SimState, init_state
+from .step import step
+
+
+def stack_params(param_list: list[Params]) -> Params:
+    """Stack a list of Params into one with a leading replicate axis."""
+    arrs = [p.as_arrays() for p in param_list]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *arrs)
+
+
+def init_ensemble_state(world: World, n_replicates: int, *, seed: int = 0,
+                        starting_infected: int = 10) -> SimState:
+    """Batched SimState: independent seeding + rng stream per replicate."""
+    states = [
+        init_state(world, seed=seed + r, starting_infected=starting_infected)
+        for r in range(n_replicates)
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def make_ensemble_runner(world: World, cfg: SimConfig):
+    """jitted ``chunk(stacked_params, batched_state)`` running all
+    replicates for cfg.chunk_size steps."""
+
+    def one(world, params, state):
+        def body(carry, _):
+            ns, out = step(world, params, cfg, carry)
+            return ns, out.seirv
+
+        return jax.lax.scan(body, state, None, length=cfg.chunk_size)
+
+    vm = jax.jit(
+        jax.vmap(one, in_axes=(None, 0, 0)), donate_argnums=(2,)
+    )
+
+    def run_chunk(params, state):
+        return vm(world, params, state)
+
+    return run_chunk
+
+
+def run_ensemble(
+    world: World,
+    params_list: list[Params],
+    cfg: SimConfig,
+    *,
+    seed: int = 0,
+):
+    """Run R replicates to max_steps; returns (R, T, 5) SEIRV series.
+
+    Early exit happens only when ALL replicates are done.
+    """
+    world = world.device_put()
+    stacked = stack_params(params_list)
+    state = init_ensemble_state(
+        world, len(params_list), seed=seed,
+        starting_infected=cfg.starting_infected,
+    )
+    runner = make_ensemble_runner(world, cfg)
+
+    chunks = []
+    steps = 0
+    while steps < cfg.max_steps:
+        state, seirv = runner(stacked, state)
+        seirv = np.asarray(seirv)  # (R, chunk, 5)
+        chunks.append(seirv)
+        steps += cfg.chunk_size
+        alive = seirv[:, -1, :3].sum(axis=1) > 0
+        if not alive.any():
+            break
+    return np.concatenate(chunks, axis=1)[:, : cfg.max_steps]

@@ -25,16 +25,28 @@ from .step import StepOutput, step
 
 
 def make_chunk_runner(world: World, cfg: SimConfig):
-    """Returns jitted ``chunk(params, state) -> (state, StepOutput[chunk])``."""
+    """Returns jitted ``chunk(params, state) -> (state, StepOutput[chunk])``.
 
-    def chunk(params: Params, state: SimState):
+    The world is passed as a traced argument (bound via partial application
+    at call time), NOT closed over: large closure constants get lifted into
+    hidden executable parameters, which the dispatch path has been observed
+    to mismatch across executables ("supplied N buffers but compiled program
+    expected M").
+    """
+
+    def chunk(world, params: Params, state: SimState):
         def body(carry, _):
             new_state, out = step(world, params, cfg, carry)
             return new_state, out
 
         return jax.lax.scan(body, state, None, length=cfg.chunk_size)
 
-    return jax.jit(chunk, donate_argnums=(1,))
+    jitted = jax.jit(chunk, donate_argnums=(2,))
+
+    def run_chunk(params, state):
+        return jitted(world, params, state)
+
+    return run_chunk
 
 
 def run(
