@@ -42,16 +42,21 @@ def make_ensemble_runner(world: World, cfg: SimConfig):
     """jitted ``chunk(stacked_params, batched_state)`` running all
     replicates for cfg.chunk_size steps."""
 
-    def one(world, params, state):
-        def body(carry, _):
-            ns, out = step(world, params, cfg, carry)
-            return ns, out.seirv
+    from .scan import _RUNNER_CACHE, world_signature
 
-        return jax.lax.scan(body, state, None, length=cfg.chunk_size)
+    key = ("ensemble", cfg, world_signature(world))
+    vm = _RUNNER_CACHE.get(key)
+    if vm is None:
 
-    vm = jax.jit(
-        jax.vmap(one, in_axes=(None, 0, 0)), donate_argnums=(2,)
-    )
+        def one(world, params, state):
+            def body(carry, _):
+                ns, out = step(world, params, cfg, carry)
+                return ns, out.seirv
+
+            return jax.lax.scan(body, state, None, length=cfg.chunk_size)
+
+        vm = jax.jit(jax.vmap(one, in_axes=(None, 0, 0)), donate_argnums=(2,))
+        _RUNNER_CACHE[key] = vm
 
     def run_chunk(params, state):
         return vm(world, params, state)

@@ -208,23 +208,36 @@ def fast_step(world: World, params: Params, cfg: SimConfig, state: SimState):
         (contrib_work, susceptible, hit_home),
     )
 
-    # 8. bus side (rider-compacted; simulator.rs:360-401)
-    def bus_branch(_):
+    # 8. bus side (rider-compacted; simulator.rs:360-401).  One packed int8
+    #    gather moves (on_bus, infected, susceptible) into rider order; the
+    #    exposure draw runs there (static rider lanes supply p) and only the
+    #    hit bits scatter back.
+    def bus_branch(packed):
         rp = world.rider_perm
-        rb_on = jnp.take(on_bus, rp)
-        rb_inf = jnp.take(status, rp) == STATUS_INFECTED
+        r = rp.shape[0]
+        pk = jnp.take(packed, rp)
+        rb_on = (pk & 1) != 0
+        rb_inf = (pk & 2) != 0
+        rb_susc = (pk & 4) != 0
         n_r = bus_infection_counts(
             k_bus, rb_on, world.rider_route, rb_inf & rb_on, cfg.bus_capacity
         )
-        return jnp.zeros((n,), jnp.int32).at[rp].set(n_r, mode="drop")
+        p_r = _exposure_p(
+            d.exposure_chance, d.mask_effectiveness, state.mask_status,
+            world.rider_mask_compliant, rb_on, cfg.reference_mask_semantics,
+        )
+        q_r = jnp.where(n_r > 0, binomial_at_least_one(p_r, n_r), 0.0)
+        hit_r = rb_susc & (jax.random.uniform(k_b, (r,)) < q_r)
+        return jnp.zeros((n,), bool).at[rp].set(hit_r, mode="drop")
 
-    n_inf_my_bus = jax.lax.cond(
-        jnp.any(on_bus), bus_branch, lambda _: jnp.zeros((n,), jnp.int32), None
+    packed_bus = (
+        on_bus.astype(jnp.int8)
+        | ((status == STATUS_INFECTED).astype(jnp.int8) << 1)
+        | (susceptible.astype(jnp.int8) << 2)
     )
-    q_bus = jnp.where(
-        n_inf_my_bus > 0, binomial_at_least_one(p_cit, n_inf_my_bus), 0.0
+    hit_bus = jax.lax.cond(
+        jnp.any(on_bus), bus_branch, lambda _: jnp.zeros((n,), bool), packed_bus
     )
-    hit_bus = susceptible & (jax.random.uniform(k_b, (n,)) < q_bus)
 
     # 9. combine + bookkeeping (statistics.rs:181-195, 275-287)
     newly_exposed = hit_home | hit_work | hit_bus

@@ -24,24 +24,41 @@ from .state import SimState
 from .step import StepOutput, step
 
 
+def world_signature(world: World):
+    """Hashable (shapes, dtypes, statics) key for runner memoisation."""
+    leaves = jax.tree.leaves(world)
+    return (
+        tuple((tuple(x.shape), str(getattr(x, "dtype", type(x)))) for x in leaves),
+        world.n_buildings, world.n_rooms, world.n_output_areas,
+    )
+
+
+_RUNNER_CACHE: dict = {}
+
+
 def make_chunk_runner(world: World, cfg: SimConfig):
-    """Returns jitted ``chunk(params, state) -> (state, StepOutput[chunk])``.
+    """Returns ``chunk(params, state) -> (state, StepOutput[chunk])``.
 
-    The world is passed as a traced argument (bound via partial application
-    at call time), NOT closed over: large closure constants get lifted into
-    hidden executable parameters, which the dispatch path has been observed
-    to mismatch across executables ("supplied N buffers but compiled program
-    expected M").
+    Two environment quirks shape this construction (see docs/PERF.md):
+    the world is a traced argument, not a closure constant (closure lifting
+    triggered cross-executable buffer mismatches on the axon dispatch path),
+    and runners are memoised on (cfg, world signature) so repeated runs
+    reuse one jitted callable instead of compiling structurally identical
+    twins (which trip the same mismatch).
     """
+    key = (cfg, world_signature(world))
+    jitted = _RUNNER_CACHE.get(key)
+    if jitted is None:
 
-    def chunk(world, params: Params, state: SimState):
-        def body(carry, _):
-            new_state, out = step(world, params, cfg, carry)
-            return new_state, out
+        def chunk(world, params: Params, state: SimState):
+            def body(carry, _):
+                new_state, out = step(world, params, cfg, carry)
+                return new_state, out
 
-        return jax.lax.scan(body, state, None, length=cfg.chunk_size)
+            return jax.lax.scan(body, state, None, length=cfg.chunk_size)
 
-    jitted = jax.jit(chunk, donate_argnums=(2,))
+        jitted = jax.jit(chunk, donate_argnums=(2,))
+        _RUNNER_CACHE[key] = jitted
 
     def run_chunk(params, state):
         return jitted(world, params, state)
@@ -80,7 +97,7 @@ def run(
         seirv = out.seirv  # (chunk, 5)
         alive = seirv[:, 0] + seirv[:, 1] + seirv[:, 2] > 0
         if callback is not None:
-            callback(steps_done, out)
+            callback(steps_done, out, state)
         if not alive[-1]:
             break
 

@@ -28,18 +28,38 @@ class Simulator:
         seed: int = 0,
         oa_codes: list[str] | None = None,
         verbose: bool = True,
+        profile_dir: str | None = None,
+        checkpoint_path: str | None = None,
+        checkpoint_every_chunks: int = 0,
     ):
+        """``profile_dir``: capture a jax.profiler trace of one mid-run chunk
+        (the TPU analog of the reference's criterion+cpuprofiler benches,
+        run/benches/bench.rs).  ``checkpoint_path``: snapshot the device
+        state every ``checkpoint_every_chunks`` chunks and resume from an
+        existing snapshot."""
         self.world = world.device_put()
         self.params = (params or Params.covid()).as_arrays()
         self.cfg = cfg or SimConfig()
         self.seed = seed
         self.verbose = verbose
         self.recorder = StatisticsRecorder(oa_codes=oa_codes)
+        self.profile_dir = profile_dir
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every_chunks = checkpoint_every_chunks
         self.state: SimState = init_state(
             self.world,
             seed=seed,
             starting_infected=self.cfg.starting_infected,
         )
+        if checkpoint_path is not None:
+            import os
+
+            if os.path.exists(checkpoint_path):
+                from .checkpoint import load_state
+
+                self.state, _ = load_state(checkpoint_path)
+                if verbose:
+                    print(f"resumed from {checkpoint_path} at hour {int(self.state.hour)}")
 
     def simulate(self, output_dir: str | None = None) -> np.ndarray:
         """Run to completion; optionally dump the four JSON artifacts.
@@ -49,8 +69,28 @@ class Simulator:
         t0 = time.perf_counter()
         last_print = [t0]
 
-        def callback(steps_done, out):
+        chunk_counter = [0]
+
+        def callback(steps_done, out, state):
             self.recorder.record_chunk(out)
+            chunk_counter[0] += 1
+            if self.profile_dir and chunk_counter[0] == 2:
+                import jax
+
+                jax.profiler.start_trace(self.profile_dir)
+            elif self.profile_dir and chunk_counter[0] == 3:
+                import jax
+
+                jax.profiler.stop_trace()
+            if (
+                self.checkpoint_path
+                and self.checkpoint_every_chunks
+                and chunk_counter[0] % self.checkpoint_every_chunks == 0
+            ):
+                from .checkpoint import save_state
+
+                save_state(self.checkpoint_path, state,
+                           self.recorder.global_stats)
             if self.verbose:
                 row = out.seirv[-1]
                 now = time.perf_counter()

@@ -193,7 +193,7 @@ def run_sharded(
         chunks.append(out)
         steps_done += cfg.chunk_size
         if callback is not None:
-            callback(steps_done, out)
+            callback(steps_done, out, state)
         seirv = out.seirv
         if not (seirv[-1, 0] + seirv[-1, 1] + seirv[-1, 2] > 0):
             break

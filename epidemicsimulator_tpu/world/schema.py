@@ -82,6 +82,7 @@ class World:
     rider_route: Any = None    # int32 (R,), dense route id per rider (undirected pairing
                                # of the static home->work commute; same grouping serves
                                # both travel directions)
+    rider_mask_compliant: Any = None  # bool (R,), static lane in rider order
 
     # --- fast-path tables (build_fast_tables) -----------------------------
     # TPU random access (gather/scatter) is per-index serial (~7ns/elem), so
@@ -215,6 +216,7 @@ class World:
         order = np.argsort(route_key, kind="stable")
         rider_perm = riders[order]
         _, rider_route = np.unique(route_key[order], return_inverse=True)
+        rider_mask_compliant = np.asarray(self.mask_compliant)[rider_perm]
 
         out = dataclasses.replace(
             self,
@@ -227,6 +229,7 @@ class World:
             room_hi=room_hi.astype(np.int32),
             rider_perm=rider_perm.astype(np.int32),
             rider_route=rider_route.astype(np.int32),
+            rider_mask_compliant=rider_mask_compliant,
         )
         return out.build_fast_tables()
 

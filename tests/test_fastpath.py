@@ -47,6 +47,7 @@ def test_fast_and_portable_steps_agree_deterministically(steps):
         ws_uses_transport=np.zeros(world.n_citizens, bool),
         rider_perm=np.zeros(0, np.int32),
         rider_route=np.zeros(0, np.int32),
+        rider_mask_compliant=np.zeros(0, bool),
     )
     base = Params.covid()
     params = Params(
