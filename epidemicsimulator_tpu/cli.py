@@ -55,6 +55,8 @@ def make_parser() -> argparse.ArgumentParser:
                    help="steps between device-state snapshots (0 = off)")
     p.add_argument("--pbf", default=None, help="OSM .pbf extract path")
     p.add_argument("--shapefile", default=None, help="OA boundary shapefile path")
+    p.add_argument("--params-file", default=None,
+                   help="JSON disease/threshold parameters (default: COVID)")
     return p
 
 
@@ -155,7 +157,10 @@ def main(argv=None) -> int:
         from .engine.simulator import Simulator
 
         cfg = SimConfig(max_steps=args.max_steps, chunk_size=args.chunk_size)
-        sim = Simulator(world, Params.covid(), cfg, seed=args.seed)
+        params = (
+            Params.from_json(args.params_file) if args.params_file else Params.covid()
+        )
+        sim = Simulator(world, params, cfg, seed=args.seed)
         out_dir = args.output_name or os.path.join(
             "statistics_output", f"{args.area}_{int(time.time())}"
         )

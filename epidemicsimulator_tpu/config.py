@@ -168,6 +168,33 @@ class Params:
     def as_arrays(self) -> "Params":
         return Params(self.disease.as_arrays(), self.thresholds.as_arrays())
 
+    # File-driven configuration — the reference's own TODO
+    # (interventions.rs:51 "Make this loaded from a config file").
+    @staticmethod
+    def from_json(path: str) -> "Params":
+        import json
+
+        with open(path) as f:
+            raw = json.load(f)
+        return Params(
+            disease=DiseaseParams(**raw.get("disease", {})),
+            thresholds=InterventionThresholds(**raw.get("thresholds", {})),
+        )
+
+    def to_json(self, path: str) -> None:
+        import dataclasses as dc
+        import json
+
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "disease": dc.asdict(self.disease),
+                    "thresholds": dc.asdict(self.thresholds),
+                },
+                f,
+                indent=2,
+            )
+
 
 # ---------------------------------------------------------------------------
 # Static compile-shaping config

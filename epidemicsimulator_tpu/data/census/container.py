@@ -193,22 +193,35 @@ def parse_commuting(path: str, bulk: bool = False) -> pd.DataFrame:
     return out[out["count"] > 0]
 
 
-def load_census_data(directory: str, *, bulk_commuting: bool = False) -> CensusData:
-    """Read the four tables from ``directory`` and build aligned arrays."""
-    ages = parse_age_structure(
-        os.path.join(directory, TABLE_SPECS[CensusTable.AGE_STRUCTURE].filename)
-    )
-    occs = parse_occupation(
-        os.path.join(directory, TABLE_SPECS[CensusTable.OCCUPATION_COUNT].filename)
-    )
-    pops = parse_population(
-        os.path.join(directory, TABLE_SPECS[CensusTable.POPULATION_DENSITY].filename)
-    )
-    spec = TABLE_SPECS[CensusTable.RESIDES_VS_WORKPLACE]
+def load_census_data(
+    directory: str, *, bulk: bool = False, bulk_commuting: bool | None = None
+) -> CensusData:
+    """Read the four tables from ``directory`` and build aligned arrays.
+
+    ``bulk=True`` reads the wide whole-England files (lib.rs:235-343 path,
+    get_bulk_filename names) instead of the long NOMIS API downloads.
+    """
+    if bulk_commuting is None:
+        bulk_commuting = bulk
+
+    def path(table, use_bulk):
+        spec = TABLE_SPECS[table]
+        return os.path.join(
+            directory, spec.bulk_filename if use_bulk else spec.filename
+        )
+
+    if bulk:
+        from .bulk import parse_bulk_age, parse_bulk_occupation, parse_bulk_population
+
+        ages = parse_bulk_age(path(CensusTable.AGE_STRUCTURE, True))
+        occs = parse_bulk_occupation(path(CensusTable.OCCUPATION_COUNT, True))
+        pops = parse_bulk_population(path(CensusTable.POPULATION_DENSITY, True))
+    else:
+        ages = parse_age_structure(path(CensusTable.AGE_STRUCTURE, False))
+        occs = parse_occupation(path(CensusTable.OCCUPATION_COUNT, False))
+        pops = parse_population(path(CensusTable.POPULATION_DENSITY, False))
     commute = parse_commuting(
-        os.path.join(
-            directory, spec.bulk_filename if bulk_commuting else spec.filename
-        ),
+        path(CensusTable.RESIDES_VS_WORKPLACE, bulk_commuting),
         bulk=bulk_commuting,
     )
 
