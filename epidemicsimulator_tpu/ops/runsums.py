@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_I32_MAX = jnp.int32(2**31 - 1)
+_I32_MAX = 2**31 - 1  # python int on purpose — see ops/segments.py note
 
 
 def run_totals(values_i32, start_mask, end_mask):

@@ -20,7 +20,11 @@ import jax.numpy as jnp
 
 from .maths import binomial_at_least_one
 
-_INT32_MAX = jnp.int32(2**31 - 1)
+# NOTE: keep this a Python int, NOT a jnp scalar: module-level device
+# constants get hoisted as hidden executable inputs by the jax-0.9 constant
+# system and the axon dispatch drops them ("supplied N buffers, expected
+# N+2") once more than one executable exists.
+_INT32_MAX = 2**31 - 1
 
 
 def count_per_segment(values, segment_ids, num_segments: int):

@@ -29,9 +29,9 @@ def render_live(
     import matplotlib
 
     matplotlib.use("Agg")
-    import matplotlib.animation as animation
     import matplotlib.pyplot as plt
     from matplotlib.collections import PolyCollection
+    from PIL import Image
 
     from ..config import SimConfig
     from ..engine.scan import make_chunk_runner
@@ -60,25 +60,26 @@ def render_live(
 
     oa_infected = np.zeros(world.n_output_areas)
 
-    def update(frame):
-        nonlocal state, oa_infected
+    images = []
+    for _frame in range(frames):
         state, out = chunk_fn(params, state)
         exp = np.asarray(out.exposures_per_oa)
         if exp.size:
-            oa_infected = exp.sum(axis=0)
+            oa_infected = oa_infected + exp.sum(axis=0)
         pc.set_array(np.log1p(oa_infected[: len(polys)]))
         title.set_text(
             f"hour {int(state.hour)}  "
             f"S/E/I/R/V: {np.asarray(out.seirv)[-1].tolist()}"
         )
-        return [pc, title]
-
-    anim = animation.FuncAnimation(fig, update, frames=frames, blit=False)
-    writer = (
-        animation.PillowWriter(fps=10)
-        if out_path.endswith(".gif")
-        else animation.FFMpegWriter(fps=10)
-    )
-    anim.save(out_path, writer=writer)
+        fig.canvas.draw()
+        images.append(
+            Image.fromarray(np.asarray(fig.canvas.buffer_rgba())[..., :3].copy())
+        )
+        seirv = np.asarray(out.seirv)[-1]
+        if seirv[0] + seirv[1] + seirv[2] == 0:
+            break
     plt.close(fig)
+    images[0].save(
+        out_path, save_all=True, append_images=images[1:], duration=100, loop=0
+    )
     return out_path

@@ -113,6 +113,37 @@ def draw_buildings_and_output_areas(
     return filename
 
 
+def draw_school_catchments(
+    filename: str,
+    school_east: np.ndarray,
+    school_north: np.ndarray,
+    point_east: np.ndarray,
+    point_north: np.ndarray,
+    *,
+    dpi: int = 150,
+):
+    """Debug plot of nearest-school catchments: the matplotlib equivalent of
+    the reference's Voronoi PNG dump (osm_data/src/draw_voronoi.rs).  Points
+    are coloured by their nearest school (identical semantics to the
+    reference's Voronoi-cell lookup)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(np.c_[school_east, school_north])
+    _, owner = tree.query(np.c_[point_east, point_north])
+    fig, ax = plt.subplots(figsize=(10, 10))
+    ax.scatter(point_east, point_north, s=1, c=owner, cmap="tab20")
+    ax.scatter(school_east, school_north, s=80, c="black", marker="*")
+    ax.set_aspect("equal")
+    ax.set_title("school catchments (nearest-seed)")
+    fig.savefig(filename, dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
+    return filename
+
+
 def plot_seirv_curves(filename: str, seirv: np.ndarray, *, title="SEIRV"):
     """Epidemic curve plot from a (T, 5) series (the statistics notebooks'
     main figure, statistics_results/statistics.ipynb)."""

@@ -131,3 +131,38 @@ def test_cli_download_url_only(tmp_path, monkeypatch):
     assert rc == 0
     assert len(calls) == 4
     assert all("1254162148" in c[1] for c in calls)  # York geography codes
+
+
+def test_school_catchments(tmp_path):
+    from epidemicsimulator_tpu.viz.maps import draw_school_catchments
+
+    rng = np.random.default_rng(0)
+    out = draw_school_catchments(
+        str(tmp_path / "voronoi.png"),
+        rng.uniform(0, 10, 5), rng.uniform(0, 10, 5),
+        rng.uniform(0, 10, 800), rng.uniform(0, 10, 800),
+    )
+    assert os.path.getsize(out) > 1000
+
+
+def test_live_render_smoke(tmp_path):
+    import dataclasses
+
+    from epidemicsimulator_tpu import Params, SimConfig, generate_synthetic_world
+    from epidemicsimulator_tpu.viz.live import render_live
+
+    world = generate_synthetic_world(1200, n_output_areas=4, seed=0)
+    rings = np.array(
+        [(0, 0), (1, 0), (1, 1), (0, 1)] * 4, float
+    ) + np.repeat(np.arange(4)[:, None] * [1.0, 0.0], 4, axis=0).reshape(-1, 2)
+    starts = np.arange(0, 17, 4, dtype=np.int64)
+    base = Params.covid()
+    params = Params(
+        dataclasses.replace(base.disease, exposure_chance=0.05), base.thresholds
+    )
+    cfg = SimConfig(max_steps=8, chunk_size=4, max_vaccinations_per_step=16)
+    out = render_live(
+        world, params, cfg, rings, starts,
+        out_path=str(tmp_path / "live.gif"), frames=2, steps_per_frame=4,
+    )
+    assert os.path.getsize(out) > 1000
