@@ -134,7 +134,23 @@ def fast_step(world: World, params: Params, cfg: SimConfig, state: SimState):
     inf_active = is_i_now = (status == STATUS_INFECTED) & ~on_bus
     work_neq_home = world.work_building != world.home_building
     contrib_home = inf_active & (~at_work | ~work_neq_home)
-    n_h = run_totals(contrib_home, world.home_start_mask, world.home_end_mask)
+    # Households are tiny, so a shift-window sum over [-K, K] neighbours
+    # (gated by the static within-household position lanes) beats the
+    # generic three-scan run total; fall back to scans for outlier worlds.
+    K = world.max_household_size
+    if 0 < K <= 24:
+        c8 = contrib_home.astype(jnp.int8)
+        pos = world.hh_pos
+        size = world.hh_size
+        acc = contrib_home.astype(jnp.int32)
+        for dd in range(1, K):
+            fwd = jnp.roll(c8, -dd)          # neighbour at pos + dd
+            bwd = jnp.roll(c8, dd)           # neighbour at pos - dd
+            acc = acc + jnp.where(pos + dd < size, fwd, 0)
+            acc = acc + jnp.where(pos - dd >= 0, bwd, 0)
+        n_h = acc
+    else:
+        n_h = run_totals(contrib_home, world.home_start_mask, world.home_end_mask)
 
     def trunc(x):
         return truncate_u8(x) if cfg.reference_u8_truncation else x

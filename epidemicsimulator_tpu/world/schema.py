@@ -110,6 +110,14 @@ class World:
     oa_hi: Any = None
     ws_oa_lo: Any = None       # int32 (n_oa,), ws order (work-building OA runs)
     ws_oa_hi: Any = None
+    # household shift-window lanes: households are tiny (~HOUSEHOLD_SIZE),
+    # so per-household sums are cheaper as max_household_size shifted adds
+    # than as scans.  pos_in_household/household_size are static int16.
+    hh_pos: Any = None
+    hh_size: Any = None
+    max_household_size: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
 
     @property
     def n_citizens(self) -> int:
@@ -287,9 +295,19 @@ class World:
             empty = np.zeros(0, np.int64)
             oa_lo = oa_hi = ws_oa_lo = ws_oa_hi = empty
 
+        # household window lanes
+        counts_hh = np.bincount(hb, minlength=self.n_buildings)
+        starts_hh = np.concatenate([[0], np.cumsum(counts_hh)[:-1]])
+        hh_pos = np.arange(n) - starts_hh[hb]
+        hh_size = counts_hh[hb]
+        max_hh = int(hh_size.max()) if n else 0
+
         i32 = lambda x: x.astype(np.int32)
         return dataclasses.replace(
             self,
+            hh_pos=hh_pos.astype(np.int16),
+            hh_size=hh_size.astype(np.int16),
+            max_household_size=max_hh,
             wpos=wpos.astype(np.int32),
             home_start_mask=h_s,
             home_end_mask=h_e,
