@@ -99,7 +99,21 @@ def load_or_build_world(args):
     )
     codes, rings, starts = read_polygons(shp)
     pbf = args.pbf or os.path.join(args.directory, f"{args.area}.osm.pbf")
-    classes, lats, lons, areas = parse_pbf(pbf)
+    # OSM parse cache: the npz analog of the reference's bincode cache
+    # (osm_data/src/lib.rs:395-474), honoured by --use-cache.
+    import numpy as np
+
+    osm_cache = pbf + ".parsed.npz"
+    if args.use_cache and os.path.exists(osm_cache):
+        with np.load(osm_cache) as z:
+            classes, lats, lons, areas = (
+                z["classes"], z["lats"], z["lons"], z["areas"]
+            )
+    else:
+        classes, lats, lons, areas = parse_pbf(pbf)
+        np.savez_compressed(
+            osm_cache, classes=classes, lats=lats, lons=lons, areas=areas
+        )
     east, north = wgs84_to_national_grid(lats, lons)
     keep = dedupe_close_buildings(classes, east, north)
     osm = OSMBuildings(
