@@ -46,10 +46,11 @@ def main():
     cfg = SimConfig(max_steps=WARMUP_STEPS + TIMED_STEPS, chunk_size=CHUNK)
     params = Params.covid().as_arrays()
 
-    # Seed enough infections that the epidemic is in full swing during the
-    # timed window: disease active, mask mandates cycling, vaccination
-    # program running — the steady-state load of a real 5000-step run.
-    state = init_state(world, seed=0, starting_infected=2000)
+    # Seed enough infections that every intervention subsystem is live in
+    # the timed window: mask mandates on, vaccination program running
+    # (trigger is 0.5% infected), buses every day — the steady-state load of
+    # a real 5000-step run, measured at its most expensive.
+    state = init_state(world, seed=0, starting_infected=20_000)
 
     chunk_fn = make_chunk_runner(world, cfg)
 

@@ -188,11 +188,14 @@ def fast_step(world: World, params: Params, cfg: SimConfig, state: SimState):
         # work-order pressure + draw (building.rs:278-280 for workplaces;
         # school room confinement + whole-school n per building.rs:494-522 /
         # simulator.rs:307-308)
-        n_w_ws = run_totals(
-            contrib_w_ws, world.ws_wb_start_mask, world.ws_wb_end_mask
+        cs_ws = jnp.cumsum(contrib_w_ws)
+        from ..ops.runsums import run_totals_from_cumsum
+
+        n_w_ws = run_totals_from_cumsum(
+            cs_ws, contrib_w_ws, world.ws_wb_start_mask, world.ws_wb_end_mask
         )
-        room_ws = run_totals(
-            contrib_w_ws, world.ws_room_start_mask, world.ws_room_end_mask
+        room_ws = run_totals_from_cumsum(
+            cs_ws, contrib_w_ws, world.ws_room_start_mask, world.ws_room_end_mask
         )
         draws_ws = jnp.where(
             world.ws_is_school, room_ws, (n_w_ws > 0).astype(jnp.int32)

@@ -28,6 +28,12 @@ def run_totals(values_i32, start_mask, end_mask):
     """Per-element total of the element's run.  values >= 0, runs static."""
     v = jnp.asarray(values_i32, jnp.int32)
     cs = jnp.cumsum(v)
+    return run_totals_from_cumsum(cs, v, start_mask, end_mask)
+
+
+def run_totals_from_cumsum(cs, v, start_mask, end_mask):
+    """Run totals reusing an existing inclusive cumsum (shares the scan when
+    several boundary structures partition the same values)."""
     cse = cs - v
     start_prefix = jax.lax.cummax(jnp.where(start_mask, cse, -1))
     end_prefix = jax.lax.cummin(
@@ -50,6 +56,7 @@ def permute_by_sort(static_rank, payload_i8):
     ``static_rank`` is a compile-time-constant permutation lane; a key-sort
     is the fastest general static permutation available through XLA on TPU
     (measured ~3x cheaper than an equivalent gather at 3.5M elements).
+    Ranks are unique, so the sort need not be stable.
     """
-    _, out = jax.lax.sort((static_rank, payload_i8), num_keys=1)
+    _, out = jax.lax.sort((static_rank, payload_i8), num_keys=1, is_stable=False)
     return out
