@@ -155,7 +155,7 @@ def main(argv=None) -> int:
     world, geometry = load_or_build_world(args)
 
     if args.render or args.visualise or args.visualise_buildings:
-        from .viz.maps import draw_buildings_and_output_areas, draw_output_areas
+        from .viz.maps import draw_output_areas
 
         out = args.output_name or f"{args.area}_map.png"
         if geometry is None:

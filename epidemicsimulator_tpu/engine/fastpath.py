@@ -131,7 +131,7 @@ def fast_step(world: World, params: Params, cfg: SimConfig, state: SimState):
     seirv0 = jnp.stack([jnp.sum((status == s).astype(jnp.int32)) for s in range(5)])
 
     # 4. home-side pressure + draw, all in citizen order
-    inf_active = is_i_now = (status == STATUS_INFECTED) & ~on_bus
+    inf_active = (status == STATUS_INFECTED) & ~on_bus
     work_neq_home = world.work_building != world.home_building
     contrib_home = inf_active & (~at_work | ~work_neq_home)
     # Households are tiny, so a shift-window sum over [-K, K] neighbours

@@ -70,9 +70,33 @@ class Simulator:
         last_print = [t0]
 
         chunk_counter = [0]
+        prev_flags = [False, 0]  # lockdown, mask_status
+
+        def _log_interventions(steps_done, out):
+            # Transition logging, matching the reference's info! lines
+            # (simulator.rs:462-521, interventions.rs:145-175).
+            lock = np.asarray(out.lockdown)
+            mask = np.asarray(out.mask_status)
+            base = steps_done - len(lock)
+            mask_names = {0: "None", 1: "Only Public Transport", 2: "Everywhere"}
+            for i in range(len(lock)):
+                if bool(lock[i]) != prev_flags[0]:
+                    print(
+                        f"Lockdown is {'enabled' if lock[i] else 'lifted'} "
+                        f"at hour {base + i + 1}"
+                    )
+                    prev_flags[0] = bool(lock[i])
+                if int(mask[i]) != prev_flags[1]:
+                    print(
+                        f"Mask wearing status has changed: "
+                        f"{mask_names[int(mask[i])]} at hour {base + i + 1}"
+                    )
+                    prev_flags[1] = int(mask[i])
 
         def callback(steps_done, out, state):
             self.recorder.record_chunk(out)
+            if self.verbose:
+                _log_interventions(steps_done, out)
             chunk_counter[0] += 1
             if self.profile_dir and chunk_counter[0] == 2:
                 import jax

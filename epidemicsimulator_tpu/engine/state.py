@@ -15,11 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import (
-    MASK_NONE,
-    STATUS_INFECTED,
-    STATUS_SUSCEPTIBLE,
-)
+from ..config import MASK_NONE, STATUS_INFECTED
 from ..world.schema import World
 
 
