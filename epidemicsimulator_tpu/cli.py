@@ -174,9 +174,19 @@ def main(argv=None) -> int:
         params = (
             Params.from_json(args.params_file) if args.params_file else Params.covid()
         )
-        sim = Simulator(world, params, cfg, seed=args.seed)
         out_dir = args.output_name or os.path.join(
             "statistics_output", f"{args.area}_{int(time.time())}"
+        )
+        ckpt = (
+            os.path.join(args.directory, f"ckpt_{args.area}.npz")
+            if args.checkpoint_every
+            else None
+        )
+        sim = Simulator(
+            world, params, cfg, seed=args.seed,
+            checkpoint_path=ckpt,
+            checkpoint_every_chunks=max(1, args.checkpoint_every // cfg.chunk_size)
+            if args.checkpoint_every else 0,
         )
         sim.simulate(out_dir + os.sep)
         logging.info("results dumped to %s", out_dir)

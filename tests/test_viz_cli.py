@@ -166,3 +166,23 @@ def test_live_render_smoke(tmp_path):
         out_path=str(tmp_path / "live.gif"), frames=2, steps_per_frame=4,
     )
     assert os.path.getsize(out) > 1000
+
+
+def test_cli_checkpoint_and_resume(tmp_path):
+    from epidemicsimulator_tpu.cli import main
+
+    out = str(tmp_path / "r1")
+    args = [
+        "demo", "--synthetic", "1500", "--simulate",
+        "--max-steps", "48", "--chunk-size", "12",
+        "--directory", str(tmp_path), "--output-name", out,
+        "--checkpoint-every", "12", "--seed", "4",
+    ]
+    assert main(args) == 0
+    ckpt = tmp_path / "ckpt_demo.npz"
+    assert ckpt.exists()
+    # resuming picks the state up from the snapshot (hour advances past 48)
+    from epidemicsimulator_tpu.engine.checkpoint import load_state
+
+    st, _ = load_state(str(ckpt))
+    assert int(st.hour) == 48
