@@ -70,12 +70,24 @@ def init_state(
     rng = np.random.default_rng(seed if np_seed is None else np_seed)
     status = np.zeros(n, np.int8)
     home_oa = np.asarray(world.home_oa)
-    for _ in range(starting_infected):
-        oa = rng.integers(0, world.n_output_areas)
-        members = np.flatnonzero(home_oa == oa)
-        if len(members) == 0:
-            continue
-        status[rng.choice(members)] = STATUS_INFECTED
+    if n and (np.diff(home_oa) >= 0).all():
+        # Vectorised uniform-OA-then-uniform-citizen choice: home_oa is
+        # sorted in the canonical ordering, so OA membership is a
+        # searchsorted range.
+        oas = rng.integers(0, world.n_output_areas, starting_infected)
+        lo = np.searchsorted(home_oa, oas, side="left")
+        hi = np.searchsorted(home_oa, oas, side="right")
+        nonempty = hi > lo
+        picks = lo[nonempty] + (
+            rng.random(int(nonempty.sum())) * (hi - lo)[nonempty]
+        ).astype(np.int64)
+        status[picks] = STATUS_INFECTED
+    else:
+        for _ in range(starting_infected):
+            oa = rng.integers(0, world.n_output_areas)
+            members = np.flatnonzero(home_oa == oa)
+            if len(members):
+                status[rng.choice(members)] = STATUS_INFECTED
 
     n_ws = n if getattr(world, "has_fast_tables", False) else 0
     return SimState(
