@@ -13,6 +13,7 @@ from .engine.simulator import Simulator
 from .engine.state import SimState, init_state
 from .engine.step import step
 from .world.schema import World, make_world
+from .engine.ensemble import run_ensemble
 from .world.synthetic import generate_synthetic_world
 
 __version__ = "0.1.0"
@@ -26,6 +27,7 @@ __all__ = [
     "Simulator",
     "World",
     "generate_synthetic_world",
+    "run_ensemble",
     "init_state",
     "make_world",
     "step",

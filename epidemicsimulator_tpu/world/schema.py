@@ -344,7 +344,9 @@ class World:
         np.savez_compressed(
             path,
             __meta__=np.array(
-                [self.n_buildings, self.n_rooms, self.n_output_areas], np.int64
+                [self.n_buildings, self.n_rooms, self.n_output_areas,
+                 self.max_household_size],
+                np.int64,
             ),
             **arrays,
         )
@@ -360,6 +362,7 @@ class World:
             n_buildings=int(meta[0]),
             n_rooms=int(meta[1]),
             n_output_areas=int(meta[2]),
+            max_household_size=int(meta[3]) if len(meta) > 3 else 0,
             **kwargs,
         )
 

@@ -69,6 +69,10 @@ def test_npz_roundtrip(tmp_path):
     assert w2.n_output_areas == w.n_output_areas
     for name in ("age", "occupation", "home_building", "work_building", "room"):
         assert (np.asarray(getattr(w, name)) == np.asarray(getattr(w2, name))).all()
+    # derived fast tables survive the roundtrip
+    assert w2.has_index_tables and w2.has_fast_tables
+    assert w2.max_household_size == w.max_household_size
+    assert (np.asarray(w2.wpos) == np.asarray(w.wpos)).all()
 
 
 def test_workplace_capacity_respected():
