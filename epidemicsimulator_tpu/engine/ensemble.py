@@ -9,6 +9,8 @@ replicates" target.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,7 +39,12 @@ def init_ensemble_state(world: World, n_replicates: int, *, seed: int = 0,
 
 def make_ensemble_runner(world: World, cfg: SimConfig):
     """jitted ``chunk(stacked_params, batched_state)`` running all
-    replicates for cfg.chunk_size steps."""
+    replicates for cfg.chunk_size steps.
+
+    Only the SEIRV series is kept per replicate, so per-OA exposure
+    recording is disabled (it would cost a scan per replicate per step).
+    """
+    cfg = dataclasses.replace(cfg, record_exposures_per_oa=False)
 
     from .scan import _RUNNER_CACHE, world_signature
 

@@ -37,30 +37,43 @@ def test_run_totals_matches_segment_sum():
     assert (got == want).all()
 
 
-@pytest.mark.parametrize("steps", [60])
-def test_fast_and_portable_steps_agree_deterministically(steps):
+@pytest.mark.parametrize("steps,transport", [(60, False), (60, True)])
+def test_fast_and_portable_steps_agree_deterministically(steps, transport):
     world = generate_synthetic_world(3000, n_output_areas=6, seed=4)
-    # disable transport for determinism
-    world = dataclasses.replace(
-        world,
-        uses_transport=np.zeros(world.n_citizens, bool),
-        ws_uses_transport=np.zeros(world.n_citizens, bool),
-        rider_perm=np.zeros(0, np.int32),
-        rider_route=np.zeros(0, np.int32),
-        rider_mask_compliant=np.zeros(0, bool),
-    )
+    if not transport:
+        # disable transport entirely
+        world = dataclasses.replace(
+            world,
+            uses_transport=np.zeros(world.n_citizens, bool),
+            ws_uses_transport=np.zeros(world.n_citizens, bool),
+            rider_perm=np.zeros(0, np.int32),
+            rider_route=np.zeros(0, np.int32),
+            rider_mask_compliant=np.zeros(0, bool),
+        )
+    # with transport: bus_capacity below exceeds any route's ridership, so
+    # each route forms exactly one bus and composition is deterministic too
     base = Params.covid()
+    # exposure_chance=1 and masks disabled => every exposure draw has
+    # probability exactly 0 or 1, so the two formulations must agree
+    # bitwise (their RNG streams differ; only deterministic draws compare).
     params = Params(
         dataclasses.replace(
             base.disease, exposure_chance=1.0, exposed_time=6, infected_time=12,
             vaccination_rate=0,
         ),
-        dataclasses.replace(base.thresholds, vaccination=-1.0),
+        dataclasses.replace(
+            base.thresholds, vaccination=-1.0,
+            mask_public_transport=2.0, mask_everywhere=2.0,
+        ),
     ).as_arrays()
 
     trajs = []
     for fast in (True, False):
-        cfg = SimConfig(use_fast_path=fast, max_vaccinations_per_step=1)
+        cfg = SimConfig(
+            use_fast_path=fast,
+            max_vaccinations_per_step=1,
+            bus_capacity=8192 if transport else 20,
+        )
         st = init_state(world, seed=0, starting_infected=0)
         status0 = np.zeros(world.n_citizens, np.int8)
         status0[::307] = STATUS_INFECTED
