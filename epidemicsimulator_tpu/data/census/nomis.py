@@ -63,19 +63,31 @@ def download_table(
     offset = resume_from_row
     mode = "ab" if resume_from_row else "wb"
     os.makedirs(os.path.dirname(dest_path) or ".", exist_ok=True)
+
+    # Continuation pages repeat the CSV header; strip it when it matches the
+    # header we already have (from the existing file on resume, or the first
+    # page otherwise).
+    header_line: bytes | None = None
+    if resume_from_row and os.path.exists(dest_path):
+        with open(dest_path, "rb") as f0:
+            header_line = f0.readline().rstrip(b"\r\n")
+
     with open(dest_path, mode) as f:
+        first_page = True
         while True:
             url = table_url(table, geography, offset)
             body = _fetch_with_retry(sess, url)
             if not body:
                 break
-            # Strip the header on continuation pages.
-            if offset and body.startswith(b"DATE") or offset and b"\n" in body[:200]:
-                first_nl = body.find(b"\n")
-                header = body[:first_nl]
-                if offset > 0 and not header[:1].isdigit():
+            first_nl = body.find(b"\n")
+            page_first = body[:first_nl].rstrip(b"\r") if first_nl >= 0 else body
+            if header_line is None:
+                header_line = page_first
+            elif not first_page or resume_from_row:
+                if page_first == header_line:
                     body = body[first_nl + 1 :]
             f.write(body)
+            first_page = False
             n_rows = body.count(b"\n")
             log.info("fetched %d rows at offset %d for %s", n_rows, offset, table)
             if n_rows < PAGE_SIZE:
