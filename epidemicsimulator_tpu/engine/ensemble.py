@@ -51,21 +51,55 @@ def make_ensemble_runner(world: World, cfg: SimConfig):
     key = ("ensemble", cfg, world_signature(world))
     vm = _RUNNER_CACHE.get(key)
     if vm is None:
+        # Hour masks for the batch-wide gate predicates: computed OUTSIDE the
+        # vmapped step so the work-side/bus lax.conds stay conds (a batched
+        # predicate would flatten them into always-execute selects).  The
+        # gated blocks are no-ops when pressure is zero, so the conservative
+        # hour-based predicate is correctness-neutral.
+        ws_np = np.asarray(world.work_start).astype(np.int64)
+        we_np = np.asarray(world.work_end).astype(np.int64)
+        work_hours = np.zeros(24, bool)
+        for h in range(24):
+            work_hours[h] = bool(np.any((ws_np <= h) & (h <= we_np)))
+        bus_hours = np.zeros(24, bool)
+        bus_hours[np.unique((ws_np - 1) % 24)] = True
+        bus_hours[np.unique((we_np - 1) % 24)] = True
 
-        def one(world, params, state):
+        one = jax.vmap(
+            lambda world, params, state, wp, bp: _scan_free_step(
+                world, params, cfg, state, wp, bp
+            ),
+            in_axes=(None, 0, 0, None, None),
+        )
+
+        def chunk(world, work_mask, bus_mask, params, state):
             def body(carry, _):
-                ns, out = step(world, params, cfg, carry)
-                return ns, out.seirv
+                h24 = (carry.hour[0] + 1) % 24
+                work_pred = work_mask[h24] | jnp.any(carry.at_work)
+                bus_pred = bus_mask[h24] | jnp.any(carry.on_bus)
+                ns, seirv = one(world, params, carry, work_pred, bus_pred)
+                return ns, seirv
 
-            return jax.lax.scan(body, state, None, length=cfg.chunk_size)
+            ns, seirv_t = jax.lax.scan(body, state, None, length=cfg.chunk_size)
+            # scan stacks over time: (chunk, R, 5) -> (R, chunk, 5)
+            return ns, jnp.transpose(seirv_t, (1, 0, 2))
 
-        vm = jax.jit(jax.vmap(one, in_axes=(None, 0, 0)), donate_argnums=(2,))
+        jitted = jax.jit(chunk, donate_argnums=(4,))
+        masks = (jnp.asarray(work_hours), jnp.asarray(bus_hours))
+        vm = (jitted, masks)
         _RUNNER_CACHE[key] = vm
 
+    jitted, (work_mask, bus_mask) = vm
+
     def run_chunk(params, state):
-        return vm(world, params, state)
+        return jitted(world, work_mask, bus_mask, params, state)
 
     return run_chunk
+
+
+def _scan_free_step(world, params, cfg, state, work_pred, bus_pred):
+    ns, out = step(world, params, cfg, state, gate_overrides=(work_pred, bus_pred))
+    return ns, out.seirv
 
 
 def run_ensemble(

@@ -95,7 +95,19 @@ def _kth_score_threshold(scores_u32, eligible, k):
     return lo
 
 
-def fast_step(world: World, params: Params, cfg: SimConfig, state: SimState):
+def fast_step(
+    world: World,
+    params: Params,
+    cfg: SimConfig,
+    state: SimState,
+    gate_overrides=None,
+):
+    """``gate_overrides``: optional (work_pred, bus_pred) scalars replacing
+    the internally-computed lax.cond predicates.  The gated blocks are
+    semantic no-ops when their infection pressure is zero, so any
+    conservative predicate is correctness-neutral — the ensemble runner
+    passes batch-wide predicates computed OUTSIDE vmap so the conds stay
+    conds instead of flattening into selects."""
     d = params.disease
     th = params.thresholds
     n = world.n_citizens
@@ -220,8 +232,11 @@ def fast_step(world: World, params: Params, cfg: SimConfig, state: SimState):
         ).astype(bool)
         return hit_work, from_work_ws
 
+    work_pred = (
+        jnp.any(contrib_work) if gate_overrides is None else gate_overrides[0]
+    )
     hit_work, from_work_ws = jax.lax.cond(
-        jnp.any(contrib_work),
+        work_pred,
         work_side,
         lambda args: (jnp.zeros((n,), bool), jnp.zeros((n,), bool)),
         (contrib_work, susceptible, hit_home),
@@ -254,8 +269,9 @@ def fast_step(world: World, params: Params, cfg: SimConfig, state: SimState):
         | ((status == STATUS_INFECTED).astype(jnp.int8) << 1)
         | (susceptible.astype(jnp.int8) << 2)
     )
+    bus_pred = jnp.any(on_bus) if gate_overrides is None else gate_overrides[1]
     hit_bus = jax.lax.cond(
-        jnp.any(on_bus), bus_branch, lambda _: jnp.zeros((n,), bool), packed_bus
+        bus_pred, bus_branch, lambda _: jnp.zeros((n,), bool), packed_bus
     )
 
     # 9. combine + bookkeeping (statistics.rs:181-195, 275-287)

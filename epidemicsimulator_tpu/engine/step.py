@@ -55,6 +55,7 @@ def step(
     cfg: SimConfig,
     state: SimState,
     axis_name: str | None = None,
+    gate_overrides=None,
 ):
     """Advance one hour.  Returns (new_state, StepOutput).
 
@@ -72,7 +73,7 @@ def step(
     if axis_name is None and cfg.use_fast_path and world.has_fast_tables:
         from .fastpath import fast_step
 
-        return fast_step(world, params, cfg, state)
+        return fast_step(world, params, cfg, state, gate_overrides=gate_overrides)
     d = params.disease
     th = params.thresholds
     n = world.n_citizens
