@@ -223,6 +223,11 @@ class SimConfig:
     #: Dispatch single-device steps to the gather-free fast path
     #: (engine/fastpath.py) when the world carries fast tables.
     use_fast_path: bool = True
+    #: Use the fused Pallas run-total kernels (ops/pallas_scans.py) for the
+    #: work-side building/room infected counts.  None = auto (on when the
+    #: default backend is a TPU); the XLA scan formulation remains the
+    #: portable fallback.
+    use_pallas_scans: bool | None = None
     reference_mask_semantics: bool = True
     #: Replicate the reference's `exposure_total as u8` truncation
     #: (citizen.rs:239): infected counts wrap modulo 256 in the binomial.

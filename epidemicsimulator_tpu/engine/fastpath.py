@@ -200,15 +200,30 @@ def fast_step(
         # work-order pressure + draw (building.rs:278-280 for workplaces;
         # school room confinement + whole-school n per building.rs:494-522 /
         # simulator.rs:307-308)
-        cs_ws = jnp.cumsum(contrib_w_ws)
-        from ..ops.runsums import run_totals_from_cumsum
+        use_pallas = cfg.use_pallas_scans
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from ..ops.pallas_scans import run_totals_fused
 
-        n_w_ws = run_totals_from_cumsum(
-            cs_ws, contrib_w_ws, world.ws_wb_start_mask, world.ws_wb_end_mask
-        )
-        room_ws = run_totals_from_cumsum(
-            cs_ws, contrib_w_ws, world.ws_room_start_mask, world.ws_room_end_mask
-        )
+            n_w_ws, room_ws = run_totals_fused(
+                (fwd_ws & 1),
+                [
+                    (world.ws_wb_start_mask, world.ws_wb_end_mask),
+                    (world.ws_room_start_mask, world.ws_room_end_mask),
+                ],
+                tile_rows=512,
+            )
+        else:
+            cs_ws = jnp.cumsum(contrib_w_ws)
+            from ..ops.runsums import run_totals_from_cumsum
+
+            n_w_ws = run_totals_from_cumsum(
+                cs_ws, contrib_w_ws, world.ws_wb_start_mask, world.ws_wb_end_mask
+            )
+            room_ws = run_totals_from_cumsum(
+                cs_ws, contrib_w_ws, world.ws_room_start_mask, world.ws_room_end_mask
+            )
         draws_ws = jnp.where(
             world.ws_is_school, room_ws, (n_w_ws > 0).astype(jnp.int32)
         )

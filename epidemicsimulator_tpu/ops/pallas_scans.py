@@ -1,0 +1,237 @@
+"""Fused Pallas TPU kernels for contiguous-run totals.
+
+The hot loop's per-mixing-group infected counts are contiguous-run totals
+(see ops/runsums.py for the math: one cumsum + a boundary-masked cummax and
+a reverse cummin per boundary structure).  Lowered through XLA those are
+five reduce-window passes over HBM (~0.7-1.3 ms each at N=3.5M, measured —
+docs/PERF.md); this module fuses them into two bandwidth-bound Pallas
+passes using the classic two-level scan decomposition:
+
+  kernel A  per-block flat cumsum -> tiny per-block summaries
+            (block sum, masked max of start prefixes, masked min of end
+            values)
+  XLA       exclusive combine over the (n_blocks,) summaries
+            (cumsum / cummax / reverse cummin — trivial size)
+  kernel B  recompute the block-local scans, splice in the cross-block
+            carries, emit the per-element run totals
+
+Blocks are independent in both kernels, so Mosaic pipelines the DMA freely;
+there is no sequential grid dependency.  All within-block scans are manual
+log-step shifted-select reductions on (R, 128) tiles (lane scan + row-total
+scan + broadcast), which is also how XLA lowers them — but here the five
+scan quantities share one data pass instead of five.
+
+Reference semantics being accelerated: per-building / per-room infected
+counts (building.rs:202-204, :278-280, :494-522 via simulator.rs:307-308).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+_NEG = -(2**30)  # < any prefix value; survives adding a block offset < 2**22
+_POS = 2**30
+
+
+def _lane_scan(x, op, identity):
+    """Inclusive scan along axis=1 (the 128 lanes) of a (R, 128) block."""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    d = 1
+    while d < LANES:
+        sh = pltpu.roll(x, d, 1)  # sh[r, c] = x[r, c-d] (circular)
+        x = op(x, jnp.where(col >= d, sh, identity))
+        d *= 2
+    return x
+
+
+def _row_scan(x, op, identity):
+    """Inclusive scan along axis=0 of a (R, 1) column."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    d = 1
+    while d < x.shape[0]:
+        sh = pltpu.roll(x, d, 0)
+        x = op(x, jnp.where(row >= d, sh, identity))
+        d *= 2
+    return x
+
+
+def _flat_scan(x, op, identity):
+    """Inclusive scan of a (R, 128) block in row-major (flattened) order."""
+    lane = _lane_scan(x, op, identity)
+    row_tot = lane[:, LANES - 1 : LANES]
+    rp = _row_scan(row_tot, op, identity)
+    rp = pltpu.roll(rp, 1, 0)  # exclusive: carry from rows strictly above
+    row = jax.lax.broadcasted_iota(jnp.int32, rp.shape, 0)
+    rp = jnp.where(row >= 1, rp, identity)
+    return op(lane, rp)
+
+
+def _lane_rev_scan(x, op, identity):
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    d = 1
+    while d < LANES:
+        sh = pltpu.roll(x, LANES - d, 1)  # sh[r, c] = x[r, c+d] (circular)
+        x = op(x, jnp.where(col < LANES - d, sh, identity))
+        d *= 2
+    return x
+
+
+def _row_rev_scan(x, op, identity):
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    rows = x.shape[0]
+    d = 1
+    while d < rows:
+        sh = pltpu.roll(x, rows - d, 0)
+        x = op(x, jnp.where(row < rows - d, sh, identity))
+        d *= 2
+    return x
+
+
+def _flat_rev_scan(x, op, identity):
+    """Reverse (suffix) scan of a (R, 128) block in flattened order."""
+    lane = _lane_rev_scan(x, op, identity)
+    row_tot = lane[:, 0:1]
+    rp = _row_rev_scan(row_tot, op, identity)
+    rp = pltpu.roll(rp, x.shape[0] - 1, 0)  # exclusive: carry from rows below
+    row = jax.lax.broadcasted_iota(jnp.int32, rp.shape, 0)
+    rp = jnp.where(row < x.shape[0] - 1, rp, identity)
+    return op(lane, rp)
+
+
+def _summary_kernel(n_sets, v_ref, *refs):
+    mask_refs = refs[:2 * n_sets]
+    out_refs = refs[2 * n_sets:]
+    b = pl.program_id(0)
+    v = v_ref[:].astype(jnp.int32)
+    cs = _flat_scan(v, jnp.add, jnp.int32(0))
+    cse = cs - v
+    out_refs[0][b, 0] = cs[cs.shape[0] - 1, LANES - 1]
+    for k in range(n_sets):
+        start = mask_refs[2 * k][:] != 0
+        end = mask_refs[2 * k + 1][:] != 0
+        out_refs[1 + 2 * k][b, 0] = jnp.max(jnp.where(start, cse, _NEG))
+        out_refs[2 + 2 * k][b, 0] = jnp.min(jnp.where(end, cs, _POS))
+
+
+def _apply_kernel(n_sets, v_ref, s_ref, *refs):
+    mask_refs = refs[:2 * n_sets]
+    carry_refs = refs[2 * n_sets : 4 * n_sets]
+    out_refs = refs[4 * n_sets:]
+    b = pl.program_id(0)
+    v = v_ref[:].astype(jnp.int32)
+    cs = _flat_scan(v, jnp.add, jnp.int32(0))
+    cse = cs - v
+    s = s_ref[b, 0]
+    for k in range(n_sets):
+        start = mask_refs[2 * k][:] != 0
+        end = mask_refs[2 * k + 1][:] != 0
+        c = carry_refs[2 * k][b, 0]
+        d = carry_refs[2 * k + 1][b, 0]
+        sp = _flat_scan(jnp.where(start, cse, _NEG), jnp.maximum, jnp.int32(_NEG))
+        sp = jnp.maximum(sp + s, c)
+        ep = _flat_rev_scan(jnp.where(end, cs, _POS), jnp.minimum, jnp.int32(_POS))
+        ep = jnp.minimum(ep + s, d)
+        out_refs[k][:] = ep - sp
+
+
+def _pad_to(x, n_padded, fill):
+    n = x.shape[0]
+    if n == n_padded:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((n_padded - n,), fill, x.dtype)]
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_sets", "tile_rows", "interpret")
+)
+def _run_totals_fused(v, masks, *, n_sets, tile_rows, interpret):
+    n = v.shape[0]
+    block = tile_rows * LANES
+    n_blocks = pl.cdiv(n, block)
+    n_padded = n_blocks * block
+
+    # Padding elements form their own zero-valued runs (start=end=1), so
+    # they never leak into real totals; pad outputs are sliced off.
+    v2 = _pad_to(v.astype(jnp.int8), n_padded, 0).reshape(-1, LANES)
+    m2 = [
+        _pad_to(m.astype(jnp.int8), n_padded, 1).reshape(-1, LANES)
+        for m in masks
+    ]
+
+    row_block = pl.BlockSpec(
+        (tile_rows, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM
+    )
+    # Per-block scalar tables ride SMEM as whole arrays (block = full shape,
+    # constant index_map) and are indexed by program_id inside the kernels —
+    # Mosaic rejects (1,1) grid blocks.
+    cell = pl.BlockSpec(
+        (n_blocks, 1), lambda b: (0, 0), memory_space=pltpu.SMEM
+    )
+    cell_shape = jax.ShapeDtypeStruct((n_blocks, 1), jnp.int32)
+
+    summaries = pl.pallas_call(
+        functools.partial(_summary_kernel, n_sets),
+        grid=(n_blocks,),
+        in_specs=[row_block] * (1 + 2 * n_sets),
+        out_specs=[cell] * (1 + 2 * n_sets),
+        out_shape=[cell_shape] * (1 + 2 * n_sets),
+        interpret=interpret,
+    )(v2, *m2)
+    sums = summaries[0][:, 0]
+
+    # Cross-block combine — (n_blocks,)-sized, trivial for XLA.
+    s_excl = (jnp.cumsum(sums) - sums).astype(jnp.int32)
+    idx = jnp.arange(n_blocks)
+    carries = []
+    for k in range(n_sets):
+        m_start = summaries[1 + 2 * k][:, 0] + s_excl
+        m_end = summaries[2 + 2 * k][:, 0] + s_excl
+        c = jax.lax.cummax(m_start)
+        c = jnp.where(idx >= 1, jnp.roll(c, 1), _NEG)
+        d = jax.lax.cummin(m_end, reverse=True)
+        d = jnp.where(idx < n_blocks - 1, jnp.roll(d, -1), _POS)
+        carries += [c.reshape(-1, 1), d.reshape(-1, 1)]
+
+    outs = pl.pallas_call(
+        functools.partial(_apply_kernel, n_sets),
+        grid=(n_blocks,),
+        in_specs=[row_block, cell]
+        + [row_block] * (2 * n_sets)
+        + [cell] * (2 * n_sets),
+        out_specs=[row_block] * n_sets,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * tile_rows, LANES), jnp.int32)
+        ]
+        * n_sets,
+        interpret=interpret,
+    )(v2, s_excl.reshape(-1, 1), *m2, *carries)
+    return tuple(o.reshape(-1)[:n] for o in outs)
+
+
+def run_totals_fused(v, sets, *, tile_rows=1024, interpret=None):
+    """Per-element contiguous-run totals for one or more static boundary
+    structures sharing the same values lane.
+
+    ``v``: (N,) int-like values (>= 0).  ``sets``: sequence of
+    ``(start_mask, end_mask)`` bool (N,) pairs.  Returns a tuple of (N,)
+    int32 run-total lanes, one per set.  Semantics match
+    :func:`ops.runsums.run_totals`.  ``interpret=None`` auto-selects the
+    Pallas interpreter off-TPU (the CPU test platform).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    masks = []
+    for start, end in sets:
+        masks += [start, end]
+    return _run_totals_fused(
+        v, tuple(masks), n_sets=len(sets), tile_rows=tile_rows,
+        interpret=interpret,
+    )
