@@ -111,6 +111,13 @@ def fast_step(
     d = params.disease
     th = params.thresholds
     n = world.n_citizens
+    use_pallas = cfg.use_pallas_scans
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ..ops.pallas_scans import range_totals_pallas as _range_totals
+    else:
+        _range_totals = range_totals
 
     hour = state.hour + 1
     key = jax.random.fold_in(state.rng_key, hour)
@@ -183,15 +190,12 @@ def fast_step(
     #    ~16/24 steps the whole block (two permutation sorts + scans) is a
     #    no-op and lax.cond skips it.
     contrib_work = inf_active & at_work & work_neq_home
+    record_oa = cfg.record_exposures_per_oa and world.oa_lo.shape[0] > 0
 
-    def work_side(args):
-        contrib_work, susceptible, hit_home = args
-        # ship (contrib_work, susceptible, hit_home) to work order
-        fwd = (
-            contrib_work.astype(jnp.int8)
-            | (susceptible.astype(jnp.int8) << 1)
-            | (hit_home.astype(jnp.int8) << 2)
-        )
+    def work_side(fwd):
+        # fwd: (contrib_work | susceptible<<1 | hit_home<<2) packed OUTSIDE
+        # the cond so the branch takes one s8 operand instead of three pred
+        # lanes (each lax.cond operand/result costs an N-sized buffer copy).
         fwd_ws = permute_by_sort(world.wpos, fwd)
         contrib_w_ws = (fwd_ws & 1).astype(jnp.int32)
         susc_ws = (fwd_ws & 2) != 0
@@ -200,9 +204,6 @@ def fast_step(
         # work-order pressure + draw (building.rs:278-280 for workplaces;
         # school room confinement + whole-school n per building.rs:494-522 /
         # simulator.rs:307-308)
-        use_pallas = cfg.use_pallas_scans
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
             from ..ops.pallas_scans import run_totals_fused
 
@@ -240,21 +241,37 @@ def fast_step(
         )
         hit_work_ws = susc_ws & (jax.random.uniform(k_w, (n,)) < q_work_ws)
         from_work_ws = hit_work_ws & ~hit_home_ws
+        # per-OA attribution of work exposures, computed here so the cumsum
+        # (an N-sized reduce-window) only runs when the branch is live and
+        # the cond returns an (n_oa,) table instead of an (N,) lane
+        if record_oa:
+            oa_work = _range_totals(from_work_ws, world.ws_oa_lo, world.ws_oa_hi)
+        else:
+            oa_work = jnp.zeros((0,), jnp.int32)
 
         # ship the work hit back to citizen order
         hit_work = permute_by_sort(
             world.work_perm, hit_work_ws.astype(jnp.int8)
         ).astype(bool)
-        return hit_work, from_work_ws
+        return hit_work, oa_work
 
     work_pred = (
         jnp.any(contrib_work) if gate_overrides is None else gate_overrides[0]
     )
-    hit_work, from_work_ws = jax.lax.cond(
+    n_oa_out = world.oa_lo.shape[0] if record_oa else 0
+    fwd_packed = (
+        contrib_work.astype(jnp.int8)
+        | (susceptible.astype(jnp.int8) << 1)
+        | (hit_home.astype(jnp.int8) << 2)
+    )
+    hit_work, oa_work = jax.lax.cond(
         work_pred,
         work_side,
-        lambda args: (jnp.zeros((n,), bool), jnp.zeros((n,), bool)),
-        (contrib_work, susceptible, hit_home),
+        lambda fwd: (
+            jnp.zeros((n,), bool),
+            jnp.zeros((n_oa_out,), jnp.int32),
+        ),
+        fwd_packed,
     )
 
     # 8. bus side (rider-compacted; simulator.rs:360-401).  One packed int8
@@ -301,9 +318,8 @@ def fast_step(
 
     n_new = jnp.sum(newly_exposed.astype(jnp.int32))
     n_bus_exp = jnp.sum(from_bus.astype(jnp.int32))
-    if cfg.record_exposures_per_oa and world.oa_lo.shape[0] > 0:
-        oa_home = range_totals(hit_home, world.oa_lo, world.oa_hi)
-        oa_work = range_totals(from_work_ws, world.ws_oa_lo, world.ws_oa_hi)
+    if record_oa:
+        oa_home = _range_totals(hit_home, world.oa_lo, world.oa_hi)
         exposures_per_oa = oa_home + oa_work
     elif cfg.record_exposures_per_oa:
         counted = hit_home | (hit_work & ~hit_home)
@@ -358,7 +374,13 @@ def fast_step(
         below = eligible & (scores < tau)
         at = eligible & (scores == tau)
         allowed = k - jnp.sum(below.astype(jnp.int32))
-        chosen = below | (at & (jnp.cumsum(at.astype(jnp.int32)) <= allowed))
+        if use_pallas:
+            from ..ops.pallas_scans import cumsum_pallas
+
+            at_rank = cumsum_pallas(at)
+        else:
+            at_rank = jnp.cumsum(at.astype(jnp.int32))
+        chosen = below | (at & (at_rank <= allowed))
         new_status = jnp.where(chosen, jnp.int8(STATUS_VACCINATED), status)
         if not cfg.faithful_vaccine_bugs:
             eligible = eligible & ~chosen

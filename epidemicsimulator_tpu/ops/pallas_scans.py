@@ -216,6 +216,66 @@ def _run_totals_fused(v, masks, *, n_sets, tile_rows, interpret):
     return tuple(o.reshape(-1)[:n] for o in outs)
 
 
+def _cumsum_kernel(v_ref, o_ref, carry_ref):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        carry_ref[0] = 0
+
+    v = v_ref[:].astype(jnp.int32)
+    cs = _flat_scan(v, jnp.add, jnp.int32(0))
+    o_ref[:] = cs + carry_ref[0]
+    carry_ref[0] = carry_ref[0] + cs[cs.shape[0] - 1, LANES - 1]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def _cumsum_pallas(v, *, tile_rows, interpret):
+    n = v.shape[0]
+    block = tile_rows * LANES
+    n_blocks = pl.cdiv(n, block)
+    v2 = _pad_to(v.astype(jnp.int8), n_blocks * block, 0).reshape(-1, LANES)
+    out = pl.pallas_call(
+        _cumsum_kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_rows, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_rows, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * tile_rows, LANES), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(v2)
+    return out.reshape(-1)[:n]
+
+
+def cumsum_pallas(v, *, tile_rows=1024, interpret=None):
+    """Inclusive int32 cumsum of an (N,) int-like lane in one Pallas pass.
+
+    The TPU grid executes sequentially, so the running total rides an SMEM
+    scratch cell across blocks.  Replaces XLA's reduce-window lowering
+    (~0.7 ms at N=3.5M) for the per-OA stats and vaccination tie-break
+    cumsums.  ``interpret=None`` auto-selects the interpreter off-TPU.
+    Values must fit int8 (the hot-loop callers pass 0/1 masks).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _cumsum_pallas(v, tile_rows=tile_rows, interpret=interpret)
+
+
+def range_totals_pallas(v, lo, hi, **kw):
+    """Totals of [lo, hi) ranges via one Pallas cumsum + two small gathers.
+    Matches :func:`ops.runsums.range_totals`."""
+    cs = cumsum_pallas(v, **kw)
+    upper = jnp.where(hi > 0, jnp.take(cs, jnp.maximum(hi - 1, 0)), 0)
+    lower = jnp.where(lo > 0, jnp.take(cs, jnp.maximum(lo - 1, 0)), 0)
+    return upper - lower
+
+
 def run_totals_fused(v, sets, *, tile_rows=1024, interpret=None):
     """Per-element contiguous-run totals for one or more static boundary
     structures sharing the same values lane.

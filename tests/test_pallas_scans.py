@@ -125,3 +125,31 @@ def test_fastpath_with_pallas_scans_matches_xla_bitwise():
     for t, (a, b) in enumerate(zip(*trajs)):
         assert (a[0] == b[0]).all(), f"status diverged at step {t + 1}"
         assert (a[1] == b[1]).all(), f"seirv diverged at step {t + 1}"
+
+
+@pytest.mark.parametrize("n", [50, 128, 131_072, 200_000])
+def test_cumsum_pallas(n):
+    from epidemicsimulator_tpu.ops.pallas_scans import cumsum_pallas
+
+    rng = np.random.default_rng(n)
+    v = (rng.random(n) < 0.3).astype(np.int8)
+    got = np.asarray(cumsum_pallas(jnp.asarray(v), tile_rows=8, interpret=True))
+    np.testing.assert_array_equal(got, np.cumsum(v).astype(np.int32))
+
+
+def test_range_totals_pallas():
+    from epidemicsimulator_tpu.ops.pallas_scans import range_totals_pallas
+    from epidemicsimulator_tpu.ops.runsums import range_totals
+
+    rng = np.random.default_rng(1)
+    n = 33_000
+    v = (rng.random(n) < 0.4).astype(np.int8)
+    cuts = np.sort(rng.choice(n, 40, replace=False))
+    lo = np.r_[0, cuts].astype(np.int32)
+    hi = np.r_[cuts, n].astype(np.int32)
+    ref = range_totals(jnp.asarray(v), jnp.asarray(lo), jnp.asarray(hi))
+    got = range_totals_pallas(
+        jnp.asarray(v), jnp.asarray(lo), jnp.asarray(hi),
+        tile_rows=8, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
