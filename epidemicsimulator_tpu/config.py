@@ -228,6 +228,14 @@ class SimConfig:
     #: default backend is a TPU); the XLA scan formulation remains the
     #: portable fallback.
     use_pallas_scans: bool | None = None
+    #: Fuse the every-step citizen phase (timers, movement, census,
+    #: household window, home draw, cond packing) into one Pallas kernel
+    #: (ops/pallas_citizen.py).  None = auto (on on TPU for worlds with
+    #: max_household_size <= 24).  NOTE: the fused kernel draws home
+    #: exposures from counter-hash uniforms instead of threefry, so
+    #: trajectories differ stream-wise (not distributionally) from the
+    #: unfused path.
+    use_fused_citizen: bool | None = None
     reference_mask_semantics: bool = True
     #: Replicate the reference's `exposure_total as u8` truncation
     #: (citizen.rs:239): infected counts wrap modulo 256 in the binomial.

@@ -37,7 +37,7 @@ from ..config import (
 )
 from ..ops.maths import binomial_at_least_one, truncate_u8
 from ..ops.runsums import permute_by_sort, range_totals, run_totals
-from ..ops.segments import bus_infection_counts
+from ..ops.segments import bus_hits
 from ..world.schema import World
 from .state import SimState
 from .step import StepOutput
@@ -95,19 +95,39 @@ def _kth_score_threshold(scores_u32, eligible, k):
     return lo
 
 
+def wants_fused_citizen(world: World, cfg: SimConfig) -> bool:
+    """Whether fast_step will use the fused citizen-phase kernel — callers
+    that scan many steps prebuild CitizenStatics when this is True."""
+    if not (cfg.use_fast_path and world.has_fast_tables):
+        return False
+    use_pallas = cfg.use_pallas_scans
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    use_fused = cfg.use_fused_citizen
+    if use_fused is None:
+        use_fused = use_pallas and 0 < world.max_household_size <= 24
+    return bool(use_fused)
+
+
 def fast_step(
     world: World,
     params: Params,
     cfg: SimConfig,
     state: SimState,
     gate_overrides=None,
+    fused_statics=None,
 ):
     """``gate_overrides``: optional (work_pred, bus_pred) scalars replacing
     the internally-computed lax.cond predicates.  The gated blocks are
     semantic no-ops when their infection pressure is zero, so any
     conservative predicate is correctness-neutral — the ensemble runner
     passes batch-wide predicates computed OUTSIDE vmap so the conds stay
-    conds instead of flattening into selects."""
+    conds instead of flattening into selects.
+
+    ``fused_statics``: prebuilt :class:`~..ops.pallas_citizen.CitizenStatics`
+    (padded/reshaped static lanes) for the fused citizen-phase kernel; the
+    chunk runner builds them once outside its scan.  Built inline if None.
+    """
     d = params.disease
     th = params.thresholds
     n = world.n_citizens
@@ -118,78 +138,150 @@ def fast_step(
         from ..ops.pallas_scans import range_totals_pallas as _range_totals
     else:
         _range_totals = range_totals
+    K = world.max_household_size
+    use_fused = cfg.use_fused_citizen
+    if use_fused is None:
+        use_fused = use_pallas and 0 < K <= 24
+    if use_fused and not 0 < K <= 24:
+        raise ValueError(
+            "use_fused_citizen requires 0 < max_household_size <= 24"
+        )
 
     hour = state.hour + 1
     key = jax.random.fold_in(state.rng_key, hour)
     k_bus, k_h, k_w, k_b, k_vax = jax.random.split(key, 5)
-
-    # 1. disease timers (disease.rs:47-71)
-    status, timer = state.status, jnp.asarray(state.timer, jnp.int32)
-    is_e = status == STATUS_EXPOSED
-    is_i = status == STATUS_INFECTED
-    e_to_i = is_e & (timer >= d.exposed_time)
-    i_to_r = is_i & (timer >= d.infected_time)
-    status = jnp.where(e_to_i, STATUS_INFECTED, status)
-    status = jnp.where(i_to_r, jnp.int8(3), status).astype(jnp.int8)
-    timer = jnp.where(e_to_i | i_to_r, 0, jnp.where(is_e | is_i, timer + 1, timer))
-
-    # 2. movement, in citizen order and (independently, same rules+scalars)
-    #    in work order
     h24 = (hour % 24).astype(jnp.int8)
     move = ~state.lockdown
-    at_work, on_bus, bus_to_work = _movement(
-        h24, world.work_start, world.work_end, world.uses_transport,
-        move, state.at_work, state.on_bus, state.bus_to_work,
-    )
-    at_work_ws, on_bus_ws, _ = _movement(
-        h24, world.ws_work_start, world.ws_work_end, world.ws_uses_transport,
-        move, state.at_work_ws, state.on_bus_ws, None,
-    )
-
-    # 3. census post-advance (simulator.rs:178)
-    seirv0 = jnp.stack([jnp.sum((status == s).astype(jnp.int32)) for s in range(5)])
-
-    # 4. home-side pressure + draw, all in citizen order
-    inf_active = (status == STATUS_INFECTED) & ~on_bus
-    work_neq_home = world.work_building != world.home_building
-    contrib_home = inf_active & (~at_work | ~work_neq_home)
-    # Households are tiny, so a shift-window sum over [-K, K] neighbours
-    # (gated by the static within-household position lanes) beats the
-    # generic three-scan run total; fall back to scans for outlier worlds.
-    K = world.max_household_size
-    if 0 < K <= 24:
-        c8 = contrib_home.astype(jnp.int8)
-        pos = world.hh_pos
-        size = world.hh_size
-        acc = contrib_home.astype(jnp.int32)
-        for dd in range(1, K):
-            fwd = jnp.roll(c8, -dd)          # neighbour at pos + dd
-            bwd = jnp.roll(c8, dd)           # neighbour at pos - dd
-            acc = acc + jnp.where(pos + dd < size, fwd, 0)
-            acc = acc + jnp.where(pos - dd >= 0, bwd, 0)
-        n_h = acc
-    else:
-        n_h = run_totals(contrib_home, world.home_start_mask, world.home_end_mask)
 
     def trunc(x):
         return truncate_u8(x) if cfg.reference_u8_truncation else x
 
-    p_cit = _exposure_p(
-        d.exposure_chance, d.mask_effectiveness, state.mask_status,
-        world.mask_compliant, on_bus, cfg.reference_mask_semantics,
-    )
-    cur_oa = jnp.where(at_work, world.work_oa, world.home_oa)
-    q_home = jnp.where(
-        cur_oa == world.home_oa, binomial_at_least_one(p_cit, trunc(n_h)), 0.0
-    )
-    susceptible = status == STATUS_SUSCEPTIBLE
-    hit_home = susceptible & (jax.random.uniform(k_h, (n,)) < q_home)
+    if use_fused:
+        # Stages 1-4 + the cond-operand packing fused into one Pallas pass
+        # (ops/pallas_citizen.py).  The home draw uses counter-hash
+        # uniforms seeded from this step's threefry key.
+        from ..ops.pallas_citizen import citizen_phase, make_citizen_statics
+
+        statics = (
+            fused_statics if fused_statics is not None
+            else make_citizen_statics(world)
+        )
+        seed = jax.random.bits(k_h, (), jnp.uint32)
+        ints = jnp.stack([
+            h24.astype(jnp.int32),
+            move.astype(jnp.int32),
+            state.mask_status.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(seed, jnp.int32),
+            jnp.asarray(d.exposed_time, jnp.int32),
+            jnp.asarray(d.infected_time, jnp.int32),
+            jnp.int32(0), jnp.int32(0),
+        ])
+        f32s = jnp.stack([
+            jnp.asarray(d.exposure_chance, jnp.float32),
+            jnp.asarray(1.0, jnp.float32)
+            - jnp.asarray(d.mask_effectiveness, jnp.float32),
+        ])
+        (status, timer, at_work, on_bus, bus_to_work, at_work_ws, on_bus_ws,
+         hit_home, fwd_packed, packed_bus, partials) = citizen_phase(
+            statics,
+            state.status, state.timer, state.at_work, state.on_bus,
+            state.bus_to_work, state.at_work_ws, state.on_bus_ws,
+            ints, f32s,
+            K=K,
+            ref_mask_sem=cfg.reference_mask_semantics,
+            u8_trunc=cfg.reference_u8_truncation,
+            interpret=jax.default_backend() != "tpu",
+        )
+        seirv0 = jnp.sum(partials[:, :5], axis=0)
+        susceptible = status == STATUS_SUSCEPTIBLE
+        work_pred_default = jnp.sum(partials[:, 5]) > 0
+        bus_pred_default = jnp.sum(partials[:, 6]) > 0
+        timer = jnp.asarray(timer, jnp.int32)
+    else:
+        # 1. disease timers (disease.rs:47-71)
+        status, timer = state.status, jnp.asarray(state.timer, jnp.int32)
+        is_e = status == STATUS_EXPOSED
+        is_i = status == STATUS_INFECTED
+        e_to_i = is_e & (timer >= d.exposed_time)
+        i_to_r = is_i & (timer >= d.infected_time)
+        status = jnp.where(e_to_i, STATUS_INFECTED, status)
+        status = jnp.where(i_to_r, jnp.int8(3), status).astype(jnp.int8)
+        timer = jnp.where(
+            e_to_i | i_to_r, 0, jnp.where(is_e | is_i, timer + 1, timer)
+        )
+
+        # 2. movement, in citizen order and (independently, same rules +
+        #    scalars) in work order
+        at_work, on_bus, bus_to_work = _movement(
+            h24, world.work_start, world.work_end, world.uses_transport,
+            move, state.at_work, state.on_bus, state.bus_to_work,
+        )
+        at_work_ws, on_bus_ws, _ = _movement(
+            h24, world.ws_work_start, world.ws_work_end,
+            world.ws_uses_transport,
+            move, state.at_work_ws, state.on_bus_ws, None,
+        )
+
+        # 3. census post-advance (simulator.rs:178)
+        seirv0 = jnp.stack(
+            [jnp.sum((status == s).astype(jnp.int32)) for s in range(5)]
+        )
+
+        # 4. home-side pressure + draw, all in citizen order
+        inf_active = (status == STATUS_INFECTED) & ~on_bus
+        work_neq_home = world.work_building != world.home_building
+        contrib_home = inf_active & (~at_work | ~work_neq_home)
+        # Households are tiny, so a shift-window sum over [-K, K] neighbours
+        # (gated by the static within-household position lanes) beats the
+        # generic three-scan run total; fall back to scans for outlier
+        # worlds.
+        if 0 < K <= 24:
+            c8 = contrib_home.astype(jnp.int8)
+            pos = world.hh_pos
+            size = world.hh_size
+            acc = contrib_home.astype(jnp.int32)
+            for dd in range(1, K):
+                fwd = jnp.roll(c8, -dd)          # neighbour at pos + dd
+                bwd = jnp.roll(c8, dd)           # neighbour at pos - dd
+                acc = acc + jnp.where(pos + dd < size, fwd, 0)
+                acc = acc + jnp.where(pos - dd >= 0, bwd, 0)
+            n_h = acc
+        else:
+            n_h = run_totals(
+                contrib_home, world.home_start_mask, world.home_end_mask
+            )
+
+        p_cit = _exposure_p(
+            d.exposure_chance, d.mask_effectiveness, state.mask_status,
+            world.mask_compliant, on_bus, cfg.reference_mask_semantics,
+        )
+        cur_oa = jnp.where(at_work, world.work_oa, world.home_oa)
+        q_home = jnp.where(
+            cur_oa == world.home_oa,
+            binomial_at_least_one(p_cit, trunc(n_h)),
+            0.0,
+        )
+        susceptible = status == STATUS_SUSCEPTIBLE
+        hit_home = susceptible & (jax.random.uniform(k_h, (n,)) < q_home)
+
+        contrib_work = inf_active & at_work & work_neq_home
+        fwd_packed = (
+            contrib_work.astype(jnp.int8)
+            | (susceptible.astype(jnp.int8) << 1)
+            | (hit_home.astype(jnp.int8) << 2)
+        )
+        packed_bus = (
+            on_bus.astype(jnp.int8)
+            | ((status == STATUS_INFECTED).astype(jnp.int8) << 1)
+            | (susceptible.astype(jnp.int8) << 2)
+        )
+        work_pred_default = jnp.any(contrib_work)
+        bus_pred_default = jnp.any(on_bus)
 
     # 5-7. work side, gated: infected are positioned at work buildings only
     #    during work hours (or frozen there by lockdown) — for the other
     #    ~16/24 steps the whole block (two permutation sorts + scans) is a
     #    no-op and lax.cond skips it.
-    contrib_work = inf_active & at_work & work_neq_home
     record_oa = cfg.record_exposures_per_oa and world.oa_lo.shape[0] > 0
 
     def work_side(fwd):
@@ -256,14 +348,9 @@ def fast_step(
         return hit_work, oa_work
 
     work_pred = (
-        jnp.any(contrib_work) if gate_overrides is None else gate_overrides[0]
+        work_pred_default if gate_overrides is None else gate_overrides[0]
     )
     n_oa_out = world.oa_lo.shape[0] if record_oa else 0
-    fwd_packed = (
-        contrib_work.astype(jnp.int8)
-        | (susceptible.astype(jnp.int8) << 1)
-        | (hit_home.astype(jnp.int8) << 2)
-    )
     hit_work, oa_work = jax.lax.cond(
         work_pred,
         work_side,
@@ -276,32 +363,29 @@ def fast_step(
 
     # 8. bus side (rider-compacted; simulator.rs:360-401).  One packed int8
     #    gather moves (on_bus, infected, susceptible) into rider order; the
-    #    exposure draw runs there (static rider lanes supply p) and only the
-    #    hit bits scatter back.
+    #    rest is gather-free (ops/segments.py::bus_hits): bits ride the
+    #    shuffle sort, per-bus counts are run totals, and only the few
+    #    successful hits scatter back.
     def bus_branch(packed):
         rp = world.rider_perm
-        r = rp.shape[0]
         pk = jnp.take(packed, rp)
-        rb_on = (pk & 1) != 0
-        rb_inf = (pk & 2) != 0
-        rb_susc = (pk & 4) != 0
-        n_r = bus_infection_counts(
-            k_bus, rb_on, world.rider_route, rb_inf & rb_on, cfg.bus_capacity
-        )
-        p_r = _exposure_p(
-            d.exposure_chance, d.mask_effectiveness, state.mask_status,
-            world.rider_mask_compliant, rb_on, cfg.reference_mask_semantics,
-        )
-        q_r = jnp.where(n_r > 0, binomial_at_least_one(p_r, n_r), 0.0)
-        hit_r = rb_susc & (jax.random.uniform(k_b, (r,)) < q_r)
-        return jnp.zeros((n,), bool).at[rp].set(hit_r, mode="drop")
 
-    packed_bus = (
-        on_bus.astype(jnp.int8)
-        | ((status == STATUS_INFECTED).astype(jnp.int8) << 1)
-        | (susceptible.astype(jnp.int8) << 2)
+        def p_fn(compliant, on_bus_lane):
+            return _exposure_p(
+                d.exposure_chance, d.mask_effectiveness, state.mask_status,
+                compliant, on_bus_lane, cfg.reference_mask_semantics,
+            )
+
+        return bus_hits(
+            k_bus, k_b,
+            (pk & 1) != 0, (pk & 2) != 0, (pk & 4) != 0,
+            world.rider_mask_compliant,
+            world.rider_route, rp, cfg.bus_capacity, p_fn, n,
+        )
+
+    bus_pred = (
+        bus_pred_default if gate_overrides is None else gate_overrides[1]
     )
-    bus_pred = jnp.any(on_bus) if gate_overrides is None else gate_overrides[1]
     hit_bus = jax.lax.cond(
         bus_pred, bus_branch, lambda _: jnp.zeros((n,), bool), packed_bus
     )

@@ -51,8 +51,20 @@ def make_chunk_runner(world: World, cfg: SimConfig):
     if jitted is None:
 
         def chunk(world, params: Params, state: SimState):
+            # Prebuild the fused-kernel static lanes once per chunk so the
+            # pad/reshape passes are loop-invariant (not per step).
+            from .fastpath import wants_fused_citizen
+
+            fused_statics = None
+            if wants_fused_citizen(world, cfg):
+                from ..ops.pallas_citizen import make_citizen_statics
+
+                fused_statics = make_citizen_statics(world)
+
             def body(carry, _):
-                new_state, out = step(world, params, cfg, carry)
+                new_state, out = step(
+                    world, params, cfg, carry, fused_statics=fused_statics
+                )
                 return new_state, out
 
             return jax.lax.scan(body, state, None, length=cfg.chunk_size)

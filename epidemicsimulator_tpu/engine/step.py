@@ -56,6 +56,7 @@ def step(
     state: SimState,
     axis_name: str | None = None,
     gate_overrides=None,
+    fused_statics=None,
 ):
     """Advance one hour.  Returns (new_state, StepOutput).
 
@@ -73,7 +74,10 @@ def step(
     if axis_name is None and cfg.use_fast_path and world.has_fast_tables:
         from .fastpath import fast_step
 
-        return fast_step(world, params, cfg, state, gate_overrides=gate_overrides)
+        return fast_step(
+            world, params, cfg, state,
+            gate_overrides=gate_overrides, fused_statics=fused_statics,
+        )
     d = params.disease
     th = params.thresholds
     n = world.n_citizens

@@ -1,0 +1,401 @@
+"""Fused citizen-phase Pallas kernel: the every-step elementwise soup in one pass.
+
+Replaces the XLA lowering of fast-path stages 1-4 (engine/fastpath.py):
+disease-timer advance (disease.rs:47-71), schedule movement for both the
+citizen-order state and its work-order twin (citizen.rs:168-216), the
+post-advance SEIRV census (simulator.rs:178), household infection pressure
+as a shift-window sum over the static household layout (building.rs:202-204),
+the per-citizen exposure chance (disease.rs:131-154), the home-exposure
+Bernoulli draw (citizen.rs:221-248), and the packed int8 operands for the
+work-side / bus-side ``lax.cond`` branches.
+
+Lowered separately these are ~25 HBM passes plus a threefry uniform per
+step; fused they are one read of ~18 lanes and one write of ~10.
+
+Layout: lanes are viewed as (rows, 128) blocks of R rows.  The household
+window needs each block's neighbours (households span at most
+``max_household_size`` <= 24 elements, i.e. at most one row), so every lane
+feeding the window is also read through 32-row halo blocks above and below
+(clamped at the edges; the window's pos/size gates never select across a
+real household boundary, so clamped garbage is never chosen).
+
+The home draw uses counter-hash uniforms (ops/hashrng.py) so the kernel,
+the XLA fallback and the interpreter produce identical streams.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .hashrng import hash_uniform
+
+LANES = 128
+HALO = 32  # rows; >= ceil(max_household_size / 1) elements of flat halo
+
+
+class CitizenStatics(NamedTuple):
+    """Static world lanes prepared for the kernel: padded to whole rows and
+    reshaped (rows, 128).  Build once per chunk via make_citizen_statics."""
+
+    work_start: jnp.ndarray      # int8
+    work_end: jnp.ndarray        # int8
+    uses_transport: jnp.ndarray  # bool
+    mask_compliant: jnp.ndarray  # bool
+    work_neq_home: jnp.ndarray   # bool, work_building != home_building
+    same_oa: jnp.ndarray         # bool, work_oa == home_oa
+    hh_pos: jnp.ndarray          # int8 position within household
+    hh_size: jnp.ndarray         # int8 household size
+    ws_work_start: jnp.ndarray   # int8, work-order twin lanes
+    ws_work_end: jnp.ndarray
+    ws_uses_transport: jnp.ndarray
+
+
+def _pad_rows(x, rows, fill=0):
+    n = x.shape[0]
+    need = rows * LANES - n
+    if need:
+        x = jnp.concatenate([x, jnp.full((need,), fill, x.dtype)])
+    return x.reshape(rows, LANES)
+
+
+def make_citizen_statics(world) -> CitizenStatics:
+    """jnp ops only; call once per chunk (outside the scan) so the pads are
+    loop-invariant."""
+    n = world.n_citizens
+    rows = pl.cdiv(n, LANES)
+    p = functools.partial(_pad_rows, rows=rows)
+    return CitizenStatics(
+        work_start=p(jnp.asarray(world.work_start, jnp.int8)),
+        work_end=p(jnp.asarray(world.work_end, jnp.int8)),
+        uses_transport=p(jnp.asarray(world.uses_transport, jnp.int8)),
+        mask_compliant=p(jnp.asarray(world.mask_compliant, jnp.int8)),
+        work_neq_home=p((world.work_building != world.home_building).astype(jnp.int8)),
+        same_oa=p((world.work_oa == world.home_oa).astype(jnp.int8)),
+        hh_pos=p(jnp.asarray(world.hh_pos, jnp.int8)),
+        hh_size=p(jnp.asarray(world.hh_size, jnp.int8)),
+        ws_work_start=p(jnp.asarray(world.ws_work_start, jnp.int8)),
+        ws_work_end=p(jnp.asarray(world.ws_work_end, jnp.int8)),
+        ws_uses_transport=p(jnp.asarray(world.ws_uses_transport, jnp.int8)),
+    )
+
+
+def _movement(h24, move, ws, we, uses, at_work8, on_bus8):
+    """State lanes ride as int32 0/1 inside the kernel: Mosaic cannot
+    truncate i8 vectors to i1 and cannot relayout i1 masks between the i8
+    (32,128) and i32 (8,128) tilings, so every lane is lifted to int32 and
+    every mask derives from int32 compares (one uniform tiling)."""
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+    arm_bus_out = (h24 == ws - 1) & uses
+    arm_to_work = h24 == ws
+    arm_bus_home = (h24 == we - 1) & uses
+    arm_to_home = h24 == we
+    on_bus1 = jnp.where(
+        move, jnp.where(arm_bus_out | arm_bus_home, one, zero), on_bus8
+    )
+    at_work1 = jnp.where(
+        move,
+        jnp.where(arm_to_work, one, jnp.where(arm_to_home, zero, at_work8)),
+        at_work8,
+    )
+    return at_work1, on_bus1, arm_bus_out
+
+
+# halo-extended lanes, in kernel argument order
+_EXT_LANES = (
+    "status", "timer", "at_work", "on_bus",
+    "work_start", "work_end", "uses_transport", "work_neq_home",
+    "hh_pos", "hh_size",
+)
+# center-only lanes
+_CTR_LANES = (
+    "bus_to_work", "at_work_ws", "on_bus_ws",
+    "mask_compliant", "same_oa",
+    "ws_work_start", "ws_work_end", "ws_uses_transport",
+)
+
+
+def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, refs):
+    (ints, f32s), ext_c, ext_t, ext_b, ctr, outs = refs
+    b = pl.program_id(0)
+    h24 = ints[0, 0]
+    move = ints[1, 0] != 0
+    mask_status = ints[2, 0]
+    seed = ints[3, 0].astype(jnp.uint32)
+    e_time = ints[4, 0]
+    i_time = ints[5, 0]
+    p0 = f32s[0, 0]
+    mask_scale = f32s[1, 0]  # 1 - mask_effectiveness
+
+    # ---- halo-extended frame -------------------------------------------
+    def ext(i):
+        return jnp.concatenate([ext_t[i][:], ext_c[i][:], ext_b[i][:]], axis=0)
+
+    status = ext(0).astype(jnp.int32)
+    timer = ext(1)
+    at_work8 = ext(2).astype(jnp.int32)
+    on_bus8 = ext(3).astype(jnp.int32)
+    ws = ext(4).astype(jnp.int32)
+    we = ext(5).astype(jnp.int32)
+    uses = ext(6).astype(jnp.int32) != 0
+    wneq = ext(7).astype(jnp.int32) != 0
+    pos = ext(8).astype(jnp.int32)
+    size = ext(9).astype(jnp.int32)
+
+    # 1. disease timers (disease.rs:47-71)
+    is_e = status == 1
+    is_i = status == 2
+    e_to_i = is_e & (timer >= e_time)
+    i_to_r = is_i & (timer >= i_time)
+    status1 = jnp.where(e_to_i, jnp.int32(2), status)
+    status1 = jnp.where(i_to_r, jnp.int32(3), status1)
+    timer1 = jnp.where(e_to_i | i_to_r, 0, jnp.where(is_e | is_i, timer + 1, timer))
+
+    # 2. movement (citizen.rs:168-216), frozen under lockdown
+    at_work1_8, on_bus1_8, arm_bus_out = _movement(
+        h24, move, ws, we, uses, at_work8, on_bus8
+    )
+    at_work1 = at_work1_8 != 0
+    on_bus1 = on_bus1_8 != 0
+
+    # 4a. household pressure: infected positioned at home contribute
+    inf_active = (status1 == 2) & ~on_bus1
+    contrib = jnp.where(inf_active & (~at_work1 | ~wneq), 1, 0)
+
+    rows_ext = contrib.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, contrib.shape, 1)
+    acc = contrib
+    for d in range(1, K):
+        # flat shift by +d: neighbour at household position pos+d
+        a = pltpu.roll(contrib, LANES - d, 1)
+        fwd = jnp.where(col < LANES - d, a, pltpu.roll(a, rows_ext - 1, 0))
+        # flat shift by -d
+        c = pltpu.roll(contrib, d, 1)
+        bwd = jnp.where(col >= d, c, pltpu.roll(c, 1, 0))
+        acc = acc + jnp.where(pos + d < size, fwd, 0)
+        acc = acc + jnp.where(pos - d >= 0, bwd, 0)
+
+    # ---- center frame ---------------------------------------------------
+    ctr_slice = lambda x: x[HALO : HALO + block_rows]
+    status1_c = ctr_slice(status1)
+    timer1_c = ctr_slice(timer1)
+    at_work1_c = ctr_slice(at_work1)
+    on_bus1_c = ctr_slice(on_bus1)
+    at_work1_c8 = ctr_slice(at_work1_8)
+    on_bus1_c8 = ctr_slice(on_bus1_8)
+    inf_c = ctr_slice(inf_active)
+    wneq_c = ctr_slice(wneq)
+    n_h = ctr_slice(acc)
+    arm_bus_out_c = ctr_slice(arm_bus_out)
+    btw8 = ctr[0][:].astype(jnp.int32)
+    at_work_ws8 = ctr[1][:].astype(jnp.int32)
+    on_bus_ws8 = ctr[2][:].astype(jnp.int32)
+    compliant = ctr[3][:].astype(jnp.int32) != 0
+    same_oa = ctr[4][:].astype(jnp.int32) != 0
+    ws_ws = ctr[5][:].astype(jnp.int32)
+    ws_we = ctr[6][:].astype(jnp.int32)
+    ws_uses = ctr[7][:].astype(jnp.int32) != 0
+
+    btw1_8 = jnp.where(
+        move, jnp.where(arm_bus_out_c, jnp.int32(1), jnp.int32(0)), btw8
+    )
+    at_work_ws1_8, on_bus_ws1_8, _ = _movement(
+        h24, move, ws_ws, ws_we, ws_uses, at_work_ws8, on_bus_ws8
+    )
+
+    # 5. exposure chance (disease.rs:131-154; reference mask inversion per
+    #    SimConfig.reference_mask_semantics)
+    if ref_mask_sem:
+        active = (mask_status == 2) & ~compliant
+    else:
+        active = compliant & (
+            (mask_status == 2) | ((mask_status == 1) & on_bus1_c)
+        )
+    p_cit = p0 * jnp.where(active, mask_scale, jnp.float32(1.0))
+
+    nh_eff = (n_h & 0xFF) if u8_trunc else n_h
+    # 1-(1-p)^n via exp/log (Mosaic lacks expm1/log1p).  p ~ 5.5e-4, so
+    # log(1-p) in f32 is accurate enough for the distributional contract;
+    # p == 1 gives log(0) = -inf -> q = 1 for n >= 1 (the deterministic
+    # test regime) and NaN for n == 0, which never hits (u < NaN is false),
+    # matching the XLA formulation's expm1(NaN) behaviour.
+    q_home = 1.0 - jnp.exp(
+        nh_eff.astype(jnp.float32) * jnp.log(1.0 - p_cit)
+    )
+    q_home = jnp.where(~at_work1_c | same_oa, q_home, 0.0)
+
+    # 6. home draw via counter-hash uniforms
+    row = jax.lax.broadcasted_iota(jnp.int32, q_home.shape, 0)
+    colc = jax.lax.broadcasted_iota(jnp.int32, q_home.shape, 1)
+    flat = (b * block_rows + row) * LANES + colc
+    u = hash_uniform(seed, flat.astype(jnp.uint32))
+    susceptible = status1_c == 0
+    hit_home = susceptible & (u < q_home)
+
+    # 7. packed cond operands
+    contrib_work = inf_c & at_work1_c & wneq_c
+    fwd_packed = (
+        contrib_work.astype(jnp.int32)
+        | (susceptible.astype(jnp.int32) << 1)
+        | (hit_home.astype(jnp.int32) << 2)
+    )
+    packed_bus = (
+        on_bus1_c.astype(jnp.int32)
+        | ((status1_c == 2).astype(jnp.int32) << 1)
+        | (susceptible.astype(jnp.int32) << 2)
+    )
+
+    # 3/8. per-block census + gate partials (valid elements only — the final
+    # ragged block reads garbage rows past the array edge)
+    valid = flat < n_real
+    for s in range(5):
+        outs[10][b, s] = jnp.sum((valid & (status1_c == s)).astype(jnp.int32))
+    outs[10][b, 5] = jnp.sum((valid & contrib_work).astype(jnp.int32))
+    outs[10][b, 6] = jnp.sum((valid & on_bus1_c).astype(jnp.int32))
+    outs[10][b, 7] = 0
+
+    outs[0][:] = status1_c.astype(jnp.int8)
+    outs[1][:] = timer1_c  # int32: s16 2D lanes hit a pathological
+    # tiled-slice path on this backend (~1.9ms/step measured); convert at
+    # the 1D boundary instead
+    outs[2][:] = at_work1_c8.astype(jnp.int8)
+    outs[3][:] = on_bus1_c8.astype(jnp.int8)
+    outs[4][:] = btw1_8.astype(jnp.int8)
+    outs[5][:] = at_work_ws1_8.astype(jnp.int8)
+    outs[6][:] = on_bus_ws1_8.astype(jnp.int8)
+    outs[7][:] = hit_home.astype(jnp.int8)
+    outs[8][:] = fwd_packed.astype(jnp.int8)
+    outs[9][:] = packed_bus.astype(jnp.int8)
+
+
+def _kernel_entry(K, ref_mask_sem, u8_trunc, n_real, block_rows, *refs):
+    n_ext = len(_EXT_LANES)
+    n_ctr = len(_CTR_LANES)
+    i = 0
+    ints = refs[i]; i += 1
+    f32s = refs[i]; i += 1
+    ext_c = refs[i : i + n_ext]; i += n_ext
+    ext_t = refs[i : i + n_ext]; i += n_ext
+    ext_b = refs[i : i + n_ext]; i += n_ext
+    ctr = refs[i : i + n_ctr]; i += n_ctr
+    outs = refs[i:]
+    _kernel(
+        K, ref_mask_sem, u8_trunc, n_real, block_rows,
+        ((ints, f32s), ext_c, ext_t, ext_b, ctr, outs),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "K", "ref_mask_sem", "u8_trunc", "block_rows", "interpret"
+    ),
+)
+def citizen_phase(
+    statics: CitizenStatics,
+    status, timer, at_work, on_bus, bus_to_work, at_work_ws, on_bus_ws,
+    int_scalars, f32_scalars,
+    *, K, ref_mask_sem, u8_trunc, block_rows=512, interpret=False,
+):
+    """Run the fused citizen phase.  Dynamic lanes are (N,) arrays; scalar
+    vectors are int32 (8,) [h24, move, mask_status, seed, exposed_time,
+    infected_time, 0, 0] and f32 (2,) [exposure_chance, 1-mask_eff].
+
+    Returns (status1, timer1, at_work1, on_bus1, bus_to_work1, at_work_ws1,
+    on_bus_ws1, hit_home, fwd_packed, packed_bus, partials) with lanes (N,)
+    and partials (n_blocks, 8) int32:
+    [S, E, I, R, V, any_contrib_work, any_on_bus, 0] per block.
+    """
+    n = status.shape[0]
+    rows = pl.cdiv(n, LANES)
+    n_blocks = pl.cdiv(rows, block_rows)
+    halo_units = pl.cdiv(rows, HALO)
+    units_per_block = block_rows // HALO
+
+    pr = functools.partial(_pad_rows, rows=rows)
+    i8 = lambda x: jnp.asarray(x, jnp.int8)
+    dyn = (
+        pr(status, fill=5),  # pad status 5: outside every census/mask
+        pr(jnp.asarray(timer, jnp.int32)),
+        pr(i8(at_work)), pr(i8(on_bus)), pr(i8(bus_to_work)),
+        pr(i8(at_work_ws)), pr(i8(on_bus_ws)),
+    )
+    ext_arrays = [
+        dyn[0], dyn[1], dyn[2], dyn[3],
+        statics.work_start, statics.work_end, statics.uses_transport,
+        statics.work_neq_home, statics.hh_pos, statics.hh_size,
+    ]
+    ctr_arrays = [
+        dyn[4], dyn[5], dyn[6],
+        statics.mask_compliant, statics.same_oa,
+        statics.ws_work_start, statics.ws_work_end,
+        statics.ws_uses_transport,
+    ]
+
+    main = pl.BlockSpec(
+        (block_rows, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM
+    )
+    halo_top = pl.BlockSpec(
+        (HALO, LANES),
+        lambda b: (jnp.maximum(b * units_per_block - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    halo_bot = pl.BlockSpec(
+        (HALO, LANES),
+        lambda b: (
+            jnp.minimum(b * units_per_block + units_per_block, halo_units - 1),
+            0,
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    smem = pl.BlockSpec((8, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
+    smem_f = pl.BlockSpec((2, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
+    part = pl.BlockSpec(
+        (n_blocks, 8), lambda b: (0, 0), memory_space=pltpu.SMEM
+    )
+
+    lane_shape = (rows, LANES)
+    out_shapes = [
+        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # status
+        jax.ShapeDtypeStruct(lane_shape, jnp.int32),   # timer
+        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # at_work
+        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # on_bus
+        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # bus_to_work
+        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # at_work_ws
+        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # on_bus_ws
+        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # hit_home
+        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # fwd_packed
+        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # packed_bus
+        jax.ShapeDtypeStruct((n_blocks, 8), jnp.int32),
+    ]
+    out_specs = [main] * 10 + [part]
+
+    kern = functools.partial(
+        _kernel_entry, K, ref_mask_sem, u8_trunc, n, block_rows
+    )
+    res = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[smem, smem_f]
+        + [main] * len(_EXT_LANES)
+        + [halo_top] * len(_EXT_LANES)
+        + [halo_bot] * len(_EXT_LANES)
+        + [main] * len(_CTR_LANES),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        int_scalars.reshape(8, 1), f32_scalars.reshape(2, 1),
+        *ext_arrays, *ext_arrays, *ext_arrays, *ctr_arrays,
+    )
+    lanes = [r.reshape(-1)[:n] for r in res[:10]]
+    lanes[1] = lanes[1].astype(jnp.int16)
+    for i in range(2, 8):  # boolean lanes ride int8 through Mosaic
+        lanes[i] = lanes[i].astype(jnp.bool_)
+    return tuple(lanes) + (res[10],)

@@ -98,3 +98,103 @@ def bus_exposure_probability(p_exposure, n_inf_my_bus):
         binomial_at_least_one(p_exposure, n_inf_my_bus),
         0.0,
     )
+
+
+def bus_hits(
+    key_shuffle,
+    key_draw,
+    rb_on,
+    rb_inf,
+    rb_susc,
+    rb_compliant,
+    rider_route,
+    rider_citizen_id,
+    capacity: int,
+    exposure_p_fn,
+    n_citizens: int,
+    max_hits: int = 16384,
+):
+    """Gather-free bus exposure: returns the (n_citizens,) bool hit lane.
+
+    Same semantics as :func:`bus_infection_counts` + the per-rider draw
+    (simulator.rs:360-401): shuffle each route's riders, chunk into
+    capacity-sized buses, expose susceptible riders with binomial(p, infected
+    on my bus).  The per-index-serial ops of the v1 formulation (one r-sized
+    gather for infected bits, a segment_sum, two r-sized gathers for bus
+    counts, one r-sized scatter back — ~5ms each at r=690k, measured) are
+    replaced by sort payloads, contiguous-run sums and a sparse hit return:
+
+    * inf/susc/compliant bits and the rider index ride the shuffle sort as a
+      packed u32 payload (`idx<<3 | inf<<2 | susc<<1 | compliant`);
+    * buses are contiguous runs in sorted order, so per-bus infected counts
+      are boundary-masked run totals (ops/runsums.py), no segment_sum;
+    * exposure draws run in sorted order; successful hits are compacted by
+      one u32 sort and scattered sparsely (hits per step are few; a dense
+      scatter fallback guards the >max_hits case).
+
+    ``exposure_p_fn(compliant_bool, on_bus_bool) -> f32`` supplies the
+    mask-adjusted exposure chance.
+    """
+    from .runsums import run_totals
+
+    r = rb_on.shape[0]
+    if r == 0:
+        return jnp.zeros((n_citizens,), bool)
+    rk = jnp.where(rb_on, rider_route, _INT32_MAX)
+    tie = jax.random.bits(key_shuffle, (r,), dtype=jnp.uint32).astype(jnp.int32)
+    idx = jnp.arange(r, dtype=jnp.uint32)
+    payload = (
+        (idx << 3)
+        | (rb_inf.astype(jnp.uint32) << 2)
+        | (rb_susc.astype(jnp.uint32) << 1)
+        | rb_compliant.astype(jnp.uint32)
+    )
+    rk_s, _, pay_s = jax.lax.sort((rk, tie, payload), num_keys=2)
+
+    pos_i = jnp.arange(r, dtype=jnp.int32)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), rk_s[1:] != rk_s[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(boundary, pos_i, 0))
+    pos_in_route = pos_i - seg_start
+    bus_start = boundary | (pos_in_route % capacity == 0)
+    bus_end = jnp.concatenate([bus_start[1:], jnp.ones((1,), jnp.bool_)])
+
+    inf_s = ((pay_s >> 2) & 1).astype(jnp.int32)
+    n_bus = run_totals(inf_s, bus_start, bus_end)
+
+    valid = rk_s != _INT32_MAX
+    susc_s = (pay_s & 2) != 0
+    compliant_s = (pay_s & 1) != 0
+    p = exposure_p_fn(compliant_s, valid)
+    q = jnp.where(valid & (n_bus > 0), binomial_at_least_one(p, n_bus), 0.0)
+    hit = susc_s & valid & (jax.random.uniform(key_draw, (r,)) < q)
+
+    # Sparse return: compact hit payloads to the front with one u32 sort,
+    # then scatter only those (few) citizen ids.
+    hit_key = jnp.where(hit, pay_s, jnp.uint32(0xFFFFFFFF))
+    k_top = min(max_hits, r)
+    compact = jax.lax.sort(hit_key)[:k_top]
+    live = compact != jnp.uint32(0xFFFFFFFF)
+    rider_ids = jnp.asarray(compact >> 3, jnp.int32)
+    cit_ids = jnp.take(
+        rider_citizen_id, jnp.minimum(rider_ids, r - 1), mode="clip"
+    )
+    sparse = (
+        jnp.zeros((n_citizens,), bool)
+        .at[jnp.where(live, cit_ids, n_citizens)]
+        .set(True, mode="drop")
+    )
+
+    def dense(_):
+        cit_all = jnp.take(rider_citizen_id, jnp.asarray(pay_s >> 3, jnp.int32))
+        return (
+            jnp.zeros((n_citizens,), bool)
+            .at[jnp.where(hit, cit_all, n_citizens)]
+            .set(True, mode="drop")
+        )
+
+    n_hits = jnp.sum(hit.astype(jnp.int32))
+    return jax.lax.cond(
+        n_hits > k_top, dense, lambda _: sparse, None
+    )

@@ -95,3 +95,75 @@ def test_shuffle_randomises_bus_composition():
     # Each susceptible shares the infected's bus w.p. 19/39 ~ 0.487
     assert abs(rate.mean() - 19 / 39) < 0.05
     assert rate.min() > 0.25 and rate.max() < 0.75
+
+
+def test_bus_hits_matches_infection_counts_distribution():
+    """bus_hits (gather-free, sparse-return) produces per-rider hit rates
+    consistent with the v1 count formulation under the same parameters."""
+    import jax
+    import jax.numpy as jnp
+
+    from epidemicsimulator_tpu.ops.maths import binomial_at_least_one
+    from epidemicsimulator_tpu.ops.segments import bus_hits
+
+    rng = np.random.default_rng(5)
+    r = 4_000
+    n_cit = 10_000
+    route = np.sort(rng.integers(0, 37, r)).astype(np.int32)
+    cit_id = np.sort(rng.choice(n_cit, r, replace=False)).astype(np.int32)
+    inf = rng.random(r) < 0.25
+    susc = ~inf & (rng.random(r) < 0.9)
+    on = rng.random(r) < 0.8
+    p_const = 0.4
+
+    def p_fn(compliant, on_bus):
+        return jnp.full(compliant.shape, p_const, jnp.float32)
+
+    hits = np.zeros(n_cit, np.int64)
+    trials = 60
+    for t in range(trials):
+        k1, k2 = jax.random.split(jax.random.key(t))
+        out = np.asarray(
+            bus_hits(
+                k1, k2,
+                jnp.asarray(on), jnp.asarray(inf), jnp.asarray(susc),
+                jnp.asarray(np.ones(r, bool)),
+                jnp.asarray(route), jnp.asarray(cit_id),
+                20, p_fn, n_cit,
+            )
+        )
+        hits += out
+    # riders who are susceptible & riding should be hit at a plausible rate;
+    # everyone else never
+    mask_riders = np.zeros(n_cit, bool)
+    mask_riders[cit_id[on & susc]] = True
+    assert hits[~mask_riders].sum() == 0
+    rate = hits[mask_riders].mean() / trials
+    assert 0.5 < rate < 1.0, rate  # most buses carry >= 1 infected at 25%
+
+
+def test_bus_hits_dense_fallback_agrees():
+    """Force the sparse-return overflow path and compare with max_hits large."""
+    import jax
+    import jax.numpy as jnp
+
+    from epidemicsimulator_tpu.ops.segments import bus_hits
+
+    rng = np.random.default_rng(9)
+    r = 500
+    n_cit = 1_000
+    route = np.zeros(r, np.int32)
+    cit_id = np.arange(0, 2 * r, 2, dtype=np.int32)
+    inf = np.zeros(r, bool); inf[:50] = True
+    susc = ~inf
+
+    def p_fn(compliant, on_bus):
+        return jnp.full(compliant.shape, 1.0, jnp.float32)
+
+    k1, k2 = jax.random.split(jax.random.key(0))
+    args = (k1, k2, jnp.asarray(np.ones(r, bool)), jnp.asarray(inf),
+            jnp.asarray(susc), jnp.asarray(np.ones(r, bool)),
+            jnp.asarray(route), jnp.asarray(cit_id), 20, p_fn, n_cit)
+    dense = np.asarray(bus_hits(*args, max_hits=8))     # overflow -> dense
+    sparse = np.asarray(bus_hits(*args, max_hits=4096))  # sparse path
+    np.testing.assert_array_equal(dense, sparse)

@@ -1,0 +1,118 @@
+"""Fused citizen-phase kernel (ops/pallas_citizen.py) vs the unfused fast
+path.  Interpreter-mode on the CPU test platform.
+
+The fused kernel draws home exposures from counter-hash uniforms rather
+than threefry, so stochastic trajectories differ stream-wise.  In the
+deterministic regime (exposure_chance=1: every draw probability is exactly
+0 or 1) the two formulations must agree bitwise; the hash stream itself is
+checked for uniformity separately.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from epidemicsimulator_tpu import Params, SimConfig, generate_synthetic_world
+from epidemicsimulator_tpu.config import STATUS_INFECTED
+from epidemicsimulator_tpu.engine.state import init_state
+from epidemicsimulator_tpu.engine.step import step
+
+
+@pytest.mark.parametrize("transport", [False, True])
+def test_fused_matches_unfused_deterministically(transport):
+    world = generate_synthetic_world(3000, n_output_areas=6, seed=4)
+    if not transport:
+        world = dataclasses.replace(
+            world,
+            uses_transport=np.zeros(world.n_citizens, bool),
+            ws_uses_transport=np.zeros(world.n_citizens, bool),
+            rider_perm=np.zeros(0, np.int32),
+            rider_route=np.zeros(0, np.int32),
+            rider_mask_compliant=np.zeros(0, bool),
+        )
+    base = Params.covid()
+    params = Params(
+        dataclasses.replace(
+            base.disease, exposure_chance=1.0, exposed_time=6,
+            infected_time=12, vaccination_rate=0,
+        ),
+        dataclasses.replace(
+            base.thresholds, vaccination=-1.0,
+            mask_public_transport=2.0, mask_everywhere=2.0,
+        ),
+    ).as_arrays()
+
+    trajs = []
+    for fused in (True, False):
+        cfg = SimConfig(
+            use_fused_citizen=fused,
+            use_pallas_scans=fused,  # interpret-mode kernels on CPU
+            max_vaccinations_per_step=1,
+            bus_capacity=8192 if transport else 20,
+        )
+        st = init_state(world, seed=0, starting_infected=0)
+        status0 = np.zeros(world.n_citizens, np.int8)
+        status0[::307] = STATUS_INFECTED
+        st = dataclasses.replace(st, status=jnp.asarray(status0))
+        wd = world.device_put()
+        jstep = jax.jit(lambda w, p, s: step(w, p, cfg, s))
+        rows = []
+        for _ in range(60):
+            st, out = jstep(wd, params, st)
+            rows.append(
+                (
+                    np.asarray(st.status).copy(),
+                    np.asarray(st.at_work).copy(),
+                    np.asarray(st.on_bus).copy(),
+                    np.asarray(out.seirv).copy(),
+                    np.asarray(out.exposures_per_oa).copy(),
+                )
+            )
+        trajs.append(rows)
+
+    for t, (a, b) in enumerate(zip(*trajs)):
+        for k, name in enumerate(("status", "at_work", "on_bus", "seirv", "oa")):
+            assert (a[k] == b[k]).all(), f"{name} diverged at step {t + 1}"
+
+
+def test_hash_uniform_distribution():
+    from epidemicsimulator_tpu.ops.hashrng import hash_uniform
+
+    n = 200_000
+    u = np.asarray(
+        hash_uniform(jnp.uint32(12345), jnp.arange(n, dtype=jnp.uint32))
+    )
+    assert (u >= 0).all() and (u < 1).all()
+    assert abs(u.mean() - 0.5) < 0.005
+    assert abs(u.var() - 1 / 12) < 0.002
+    # decile occupancy within 3% of uniform
+    h, _ = np.histogram(u, bins=10, range=(0, 1))
+    assert (abs(h / (n / 10) - 1) < 0.03).all()
+    # successive-step streams decorrelated
+    u2 = np.asarray(
+        hash_uniform(jnp.uint32(12346), jnp.arange(n, dtype=jnp.uint32))
+    )
+    assert abs(np.corrcoef(u, u2)[0, 1]) < 0.01
+
+
+def test_fused_stochastic_epidemic_grows_comparably():
+    """Same world, same params, different RNG streams: epidemic sizes after
+    a fixed horizon should land in the same ballpark (loose 3x bracket)."""
+    world = generate_synthetic_world(20_000, n_output_areas=12, seed=1)
+    params = Params.covid().as_arrays()
+    totals = {}
+    for fused in (True, False):
+        cfg = SimConfig(use_fused_citizen=fused, use_pallas_scans=fused)
+        st = init_state(world, seed=7, starting_infected=60)
+        wd = world.device_put()
+        jstep = jax.jit(lambda w, p, s: step(w, p, cfg, s))
+        for _ in range(24 * 14):
+            st, out = jstep(wd, params, st)
+        seirv = np.asarray(out.seirv)
+        totals[fused] = int(seirv[1] + seirv[2] + seirv[3])  # ever-infected
+    assert totals[True] > 60 and totals[False] > 60, totals
+    ratio = totals[True] / max(totals[False], 1)
+    assert 1 / 3 < ratio < 3, totals

@@ -76,25 +76,52 @@ def parse(path, top_n=40):
             continue
         durs = defaultdict(int)
         counts = defaultdict(int)
+        self_durs = defaultdict(int)
         for line in lines:
-            # XLine: id=1, name=2, timestamp_ns=3, events=4 (duration_ps=9)
+            # XLine: id=1, name=2, events=4 (XEvent: metadata_id=1,
+            # offset_ps=2, duration_ps=3).  Events on one line are
+            # well-nested by [start, end); exclusive self time = duration
+            # minus directly nested children.
+            events = []
             for lf, _, lv in fields(line):
                 if lf == 4 and isinstance(lv, bytes):  # XEvent
-                    mid = dur = 0
+                    mid = off = dur = 0
                     for ef, _, ev in fields(lv):
                         if ef == 1:
                             mid = ev
+                        elif ef == 2:
+                            off = ev
                         elif ef == 3:
                             dur = ev
                     nm = ev_meta.get(mid, f"meta{mid}")
+                    events.append((off, off + dur, nm))
                     durs[nm] += dur
                     counts[nm] += 1
+            events.sort(key=lambda e: (e[0], -e[1]))
+            frames = []  # [end, name, child_total]
+            for start, end, nm in events:
+                while frames and frames[-1][0] <= start:
+                    f = frames.pop()
+                    self_durs[f[1]] += (f[0] - f[3]) - f[2]
+                    if frames:
+                        frames[-1][2] += f[0] - f[3]
+                frames.append([end, nm, 0, start])
+            while frames:
+                f = frames.pop()
+                self_durs[f[1]] += (f[0] - f[3]) - f[2]
+                if frames:
+                    frames[-1][2] += f[0] - f[3]
         total = sum(durs.values())
         if not total:
             continue
-        print(f"\n=== plane: {pname}  total {total/1e12*1e3:.2f} ms ===")
-        for nm, d in sorted(durs.items(), key=lambda kv: -kv[1])[:top_n]:
-            print(f"{d/1e12*1e3:10.2f} ms  x{counts[nm]:<6} {nm[:110]}")
+        stotal = sum(self_durs.values())
+        print(f"\n=== plane: {pname}  self-total {stotal/1e12*1e3:.2f} ms ===")
+        print(f"{'self':>10}  {'incl':>10}  {'count':>6}  name")
+        for nm, d in sorted(self_durs.items(), key=lambda kv: -kv[1])[:top_n]:
+            print(
+                f"{d/1e12*1e3:8.2f} ms {durs[nm]/1e12*1e3:8.2f} ms"
+                f"  x{counts[nm]:<6} {nm[:100]}"
+            )
 
 
 if __name__ == "__main__":
