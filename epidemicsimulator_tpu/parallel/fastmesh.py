@@ -1,0 +1,455 @@
+"""Sharded fast path: the gather-free step formulation over a device mesh.
+
+Pairs with :mod:`.partition` (household-aligned shards + static ghost work
+slots).  Communication per step, all over ICI:
+
+* one ``all_to_all`` of packed int8 ghost bits out (5 bits per cross-shard
+  worker) and one back (1 hit bit) — the only agent-level exchange;
+* ``psum`` of the SEIRV census, exposure counters and per-OA tables;
+* ``all_gather`` of per-shard scalar counts for exact global-k vaccination.
+
+Home (household window) and bus mixing are fully shard-local by
+construction.  This is the TPU analog of the reference's cross-OA
+migration merge (simulator.rs:218-257), reduced to a few static bits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import (
+    MASK_EVERYWHERE,
+    MASK_NONE,
+    MASK_PUBLIC_TRANSPORT,
+    STATUS_EXPOSED,
+    STATUS_INFECTED,
+    STATUS_SUSCEPTIBLE,
+    STATUS_VACCINATED,
+    Params,
+    SimConfig,
+)
+from ..engine.fastpath import _exposure_p, _movement
+from ..engine.state import SimState, init_state
+from ..engine.step import StepOutput
+from ..ops.maths import binomial_at_least_one, truncate_u8
+from ..ops.runsums import permute_by_sort, range_totals, run_totals
+from ..ops.segments import bus_hits
+from .mesh import AXIS, make_mesh
+from .partition import PAD_STATUS, ShardedWorld, partition_world, shard_state_arrays
+
+
+def _ext(lane, pad_value):
+    """Append one pad element so index tables can use `size` as a dump."""
+    return jnp.concatenate(
+        [lane, jnp.full((1,), pad_value, lane.dtype)]
+    )
+
+
+def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
+                    state: SimState):
+    """One hour on one shard (inside shard_map).  Per-citizen lanes are
+    local (S,); scalars and outputs are replicated via psum."""
+    d = params.disease
+    th = params.thresholds
+    S = sw.shard_size
+    W = sw.n_slots
+    L = sw.sort_len
+    G = sw.n_ghost
+    n_dev = sw.n_dev
+
+    def gsum(x):
+        return jax.lax.psum(x, AXIS)
+
+    sq = lambda x: x.reshape(x.shape[1:])  # drop the shard_map unit axis
+    hour = state.hour + 1
+    key = jax.random.fold_in(state.rng_key, hour)
+    key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
+    k_bus, k_h, k_w, k_b, k_vax = jax.random.split(key, 5)
+
+    # 1. timers (disease.rs:47-71); PAD_STATUS citizens never transition
+    status, timer = state.status, jnp.asarray(state.timer, jnp.int32)
+    is_e = status == STATUS_EXPOSED
+    is_i = status == STATUS_INFECTED
+    e_to_i = is_e & (timer >= d.exposed_time)
+    i_to_r = is_i & (timer >= d.infected_time)
+    status = jnp.where(e_to_i, STATUS_INFECTED, status)
+    status = jnp.where(i_to_r, jnp.int8(3), status).astype(jnp.int8)
+    timer = jnp.where(e_to_i | i_to_r, 0, jnp.where(is_e | is_i, timer + 1, timer))
+
+    # 2. movement (citizen.rs:168-216)
+    h24 = (hour % 24).astype(jnp.int8)
+    move = ~state.lockdown
+    at_work, on_bus, bus_to_work = _movement(
+        h24, sq(sw.work_start), sq(sw.work_end), sq(sw.uses_transport),
+        move, state.at_work, state.on_bus, state.bus_to_work,
+    )
+
+    # 3. census post-advance (simulator.rs:178); pads are status 5
+    seirv0 = gsum(
+        jnp.stack([jnp.sum((status == s).astype(jnp.int32)) for s in range(5)])
+    )
+
+    # 4. home side: households never straddle shards, so the shift-window
+    #    sum is fully local
+    inf_active = (status == STATUS_INFECTED) & ~on_bus
+    wneq = sq(sw.work_neq_home)
+    contrib_home = inf_active & (~at_work | ~wneq)
+    K = sw.max_household_size
+    pos, size = sq(sw.hh_pos), sq(sw.hh_size)
+    if 0 < K <= 24:
+        c8 = contrib_home.astype(jnp.int8)
+        acc = contrib_home.astype(jnp.int32)
+        for dd in range(1, K):
+            acc = acc + jnp.where(pos + dd < size, jnp.roll(c8, -dd), 0)
+            acc = acc + jnp.where(pos - dd >= 0, jnp.roll(c8, dd), 0)
+        n_h = acc
+    else:
+        hh_start = pos == 0
+        hh_end = pos == size - 1
+        n_h = run_totals(contrib_home, hh_start, hh_end)
+
+    def trunc(x):
+        return truncate_u8(x) if cfg.reference_u8_truncation else x
+
+    p_cit = _exposure_p(
+        d.exposure_chance, d.mask_effectiveness, state.mask_status,
+        sq(sw.mask_compliant), on_bus, cfg.reference_mask_semantics,
+    )
+    same_oa = sq(sw.same_oa)
+    q_home = jnp.where(
+        ~at_work | same_oa, binomial_at_least_one(p_cit, trunc(n_h)), 0.0
+    )
+    susceptible = status == STATUS_SUSCEPTIBLE
+    hit_home = susceptible & (jax.random.uniform(k_h, (S,)) < q_home)
+
+    # 5-7. work side with ghost slots.  5 packed bits per participant.
+    contrib_work = inf_active & at_work & wneq
+    fwd5 = (
+        contrib_work.astype(jnp.int8)
+        | (susceptible.astype(jnp.int8) << 1)
+        | (hit_home.astype(jnp.int8) << 2)
+        | (at_work.astype(jnp.int8) << 3)
+        | (on_bus.astype(jnp.int8) << 4)
+    )
+    lane_L = jnp.concatenate([fwd5, jnp.zeros((L - S,), jnp.int8)])
+    slots = permute_by_sort(sq(sw.sort_rank), lane_L, bits=5)[:W]
+
+    # ghost bits out: gather my cross-shard workers' bits, exchange, and
+    # overwrite the (garbage) ghost slot positions at the owner
+    fwd5_ext = _ext(fwd5, 0)
+    send = jnp.take(fwd5_ext, sq(sw.out_ghost_src).reshape(-1)).reshape(
+        n_dev, G
+    )
+    recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
+    slots = slots.at[sq(sw.recv_slot_pos).reshape(-1)].set(
+        recv.reshape(-1), mode="drop"
+    )
+
+    active = sq(sw.slot_active)
+    contrib_s = ((slots & 1) != 0) & active
+    susc_s = ((slots & 2) != 0) & active
+    hit_home_s = (slots & 4) != 0
+    at_work_s = (slots & 8) != 0
+    on_bus_s = (slots & 16) != 0
+
+    n_w = run_totals(contrib_s, sq(sw.wb_start), sq(sw.wb_end))
+    room = run_totals(contrib_s, sq(sw.room_start), sq(sw.room_end))
+    # global per-building pressure = local run totals: every worker of a
+    # building occupies a slot on its owner shard, local or ghost.
+    draws = jnp.where(sq(sw.slot_is_school), room, (n_w > 0).astype(jnp.int32))
+    p_s = _exposure_p(
+        d.exposure_chance, d.mask_effectiveness, state.mask_status,
+        sq(sw.slot_mask_compliant), on_bus_s, cfg.reference_mask_semantics,
+    )
+    q_single = binomial_at_least_one(p_s, trunc(n_w))
+    gate = active & (at_work_s | sq(sw.slot_same_oa))
+    q_work = jnp.where(
+        gate, -jnp.expm1(draws.astype(jnp.float32) * jnp.log1p(-q_single)), 0.0
+    )
+    hit_s = susc_s & (jax.random.uniform(k_w, (W,)) < q_work)
+    from_work_s = hit_s & ~hit_home_s
+
+    # hits back: local participants via the inverse static sort; ghosts via
+    # the reverse all_to_all.  Ghost-slot hits MUST be zeroed before the
+    # unsort: non-participant local citizens absorb the ghost-slot ranks
+    # (the sort rank is a complete permutation) and would otherwise receive
+    # a ghost's hit.
+    hit_local_only = jnp.where(sq(sw.slot_local), hit_s, False)
+    hit_L = jnp.concatenate(
+        [hit_local_only.astype(jnp.int8), jnp.zeros((L - W,), jnp.int8)]
+    )
+    hit_work = permute_by_sort(sq(sw.unsort_rank), hit_L, bits=1)[:S].astype(bool)
+    hit_s_ext = _ext(hit_s.astype(jnp.int8), 0)
+    ghost_hits = jnp.take(
+        hit_s_ext, sq(sw.recv_slot_pos).reshape(-1)
+    ).reshape(n_dev, G)
+    back = jax.lax.all_to_all(ghost_hits, AXIS, split_axis=0, concat_axis=0)
+    hit_work = (
+        hit_work.astype(jnp.int8)
+        .at[sq(sw.out_ghost_src).reshape(-1)]
+        .max(back.reshape(-1), mode="drop")
+    ) != 0
+
+    # 8. bus side: riders live on their home shard; the whole shuffle +
+    #    chunk + draw machinery is local (ops/segments.py::bus_hits)
+    rl = sq(sw.rider_local)
+    on_ext = _ext(on_bus.astype(jnp.int8), 0)
+    inf_ext = _ext((status == STATUS_INFECTED).astype(jnp.int8), 0)
+    susc_ext = _ext(susceptible.astype(jnp.int8), 0)
+
+    def p_fn(compliant, on_bus_lane):
+        return _exposure_p(
+            d.exposure_chance, d.mask_effectiveness, state.mask_status,
+            compliant, on_bus_lane, cfg.reference_mask_semantics,
+        )
+
+    hit_bus = bus_hits(
+        k_bus, k_b,
+        jnp.take(on_ext, rl) != 0,
+        jnp.take(inf_ext, rl) != 0,
+        jnp.take(susc_ext, rl) != 0,
+        sq(sw.rider_compliant),
+        sq(sw.rider_route), rl, cfg.bus_capacity, p_fn, S,
+    )
+
+    # 9. combine + bookkeeping
+    newly_exposed = hit_home | hit_work | hit_bus
+    status = jnp.where(newly_exposed, jnp.int8(STATUS_EXPOSED), status)
+    timer = jnp.where(newly_exposed, 0, timer)
+    from_bus = hit_bus & ~hit_home & ~hit_work
+    if cfg.faithful_vaccine_bugs:
+        eligible = state.eligible & ~from_bus
+    else:
+        eligible = state.eligible & ~newly_exposed
+
+    n_new = gsum(jnp.sum(newly_exposed.astype(jnp.int32)))
+    n_bus_exp = gsum(jnp.sum(from_bus.astype(jnp.int32)))
+    if cfg.record_exposures_per_oa:
+        oa_home = range_totals(hit_home, sq(sw.oa_lo), sq(sw.oa_hi))
+        oa_work = range_totals(from_work_s, sq(sw.ws_oa_lo), sq(sw.ws_oa_hi))
+        exposures_per_oa = gsum(oa_home + oa_work)
+    else:
+        exposures_per_oa = jnp.zeros((0,), jnp.int32)
+
+    seirv = seirv0.at[STATUS_SUSCEPTIBLE].add(-n_new).at[STATUS_EXPOSED].add(n_new)
+
+    # 10. interventions (interventions.rs:110-184) on replicated scalars
+    total = jnp.sum(seirv).astype(jnp.float32)
+    pct = seirv[STATUS_INFECTED].astype(jnp.float32) / total
+    lockdown = (th.lockdown >= 0) & (th.lockdown < pct)
+    newly_started = (
+        ~state.vaccination_started & (th.vaccination >= 0) & (th.vaccination < pct)
+    )
+    vaccination_started = state.vaccination_started | newly_started
+    eligible = jnp.where(newly_started, status == STATUS_SUSCEPTIBLE, eligible)
+
+    ms = state.mask_status
+    ms_next = jnp.where(
+        ms == MASK_NONE,
+        jnp.where(pct > th.mask_public_transport, MASK_PUBLIC_TRANSPORT, MASK_NONE),
+        jnp.where(
+            ms == MASK_PUBLIC_TRANSPORT,
+            jnp.where(
+                pct < th.mask_public_transport,
+                MASK_NONE,
+                jnp.where(
+                    pct > th.mask_everywhere, MASK_EVERYWHERE, MASK_PUBLIC_TRANSPORT
+                ),
+            ),
+            jnp.where(pct < th.mask_everywhere, MASK_PUBLIC_TRANSPORT, MASK_EVERYWHERE),
+        ),
+    ).astype(jnp.int8)
+
+    # 11. vaccination: exact global-k selection.  Threshold search on psum'd
+    #     counts; shard-prefix tie allocation via all_gather.
+    def vaccinate(args):
+        status, eligible = args
+        scores = jax.random.bits(k_vax, (S,), dtype=jnp.uint32)
+        kk = jnp.minimum(
+            jnp.asarray(d.vaccination_rate, jnp.int32),
+            gsum(jnp.sum(eligible.astype(jnp.int32))),
+        )
+
+        def body(st):
+            lo, hi, _ = st
+            mid = lo + (hi - lo) // jnp.uint32(2)
+            cnt = gsum(jnp.sum((eligible & (scores <= mid)).astype(jnp.int32)))
+            hit = cnt >= kk
+            return (
+                jnp.where(hit, lo, mid + jnp.uint32(1)),
+                jnp.where(hit, mid, hi),
+                st[2] + 1,
+            )
+
+        tau, _, _ = jax.lax.while_loop(
+            lambda st: st[2] < 32, body,
+            (jnp.uint32(0), jnp.uint32(0xFFFFFFFF), 0),
+        )
+        below = eligible & (scores < tau)
+        at = eligible & (scores == tau)
+        allowed = kk - gsum(jnp.sum(below.astype(jnp.int32)))
+        at_counts = jax.lax.all_gather(jnp.sum(at.astype(jnp.int32)), AXIS)
+        me = jax.lax.axis_index(AXIS)
+        prefix = jnp.sum(
+            jnp.where(jnp.arange(n_dev) < me, at_counts, 0)
+        )
+        my_quota = jnp.clip(allowed - prefix, 0, None)
+        chosen = below | (at & (jnp.cumsum(at.astype(jnp.int32)) <= my_quota))
+        new_status = jnp.where(chosen, jnp.int8(STATUS_VACCINATED), status)
+        if not cfg.faithful_vaccine_bugs:
+            eligible = eligible & ~chosen
+            new_status = jnp.where(
+                chosen & (status != STATUS_SUSCEPTIBLE), status, new_status
+            )
+        return new_status, eligible, gsum(jnp.sum(chosen.astype(jnp.int32)))
+
+    status, eligible, n_vax = jax.lax.cond(
+        vaccination_started,
+        vaccinate,
+        lambda args: (args[0], args[1], jnp.int32(0)),
+        (status, eligible),
+    )
+
+    new_state = SimState(
+        status=status,
+        timer=timer.astype(jnp.int16),
+        at_work=at_work,
+        on_bus=on_bus,
+        bus_to_work=bus_to_work,
+        eligible=eligible,
+        at_work_ws=state.at_work_ws,
+        on_bus_ws=state.on_bus_ws,
+        hour=hour,
+        lockdown=lockdown,
+        vaccination_started=vaccination_started,
+        mask_status=ms_next,
+        rng_key=state.rng_key,
+    )
+    out = StepOutput(
+        seirv=seirv,
+        exposures_per_oa=exposures_per_oa,
+        n_bus_exposures=n_bus_exp,
+        n_exposures=n_new,
+        lockdown=lockdown,
+        mask_status=ms_next,
+        n_vaccinated_now=n_vax,
+    )
+    return new_state, out
+
+
+def init_sharded_state(world, sw: ShardedWorld, *, seed=0, starting_infected=10):
+    """Global init_state scattered into (n_dev, S) stacked lanes."""
+    gs = init_state(world, seed=seed, starting_infected=starting_infected)
+    lanes = shard_state_arrays(sw, {
+        "status": (np.asarray(gs.status), PAD_STATUS),
+        "timer": (np.asarray(gs.timer), 0),
+        "at_work": (np.asarray(gs.at_work), False),
+        "on_bus": (np.asarray(gs.on_bus), False),
+        "bus_to_work": (np.asarray(gs.bus_to_work), False),
+        "eligible": (np.asarray(gs.eligible), False),
+    })
+    # lanes ride flat (n_dev*S,): shard_map splits them into per-shard (S,)
+    # blocks and concatenates outputs back symmetrically
+    return dataclasses.replace(
+        gs,
+        **{k: jnp.asarray(v).reshape(-1) for k, v in lanes.items()},
+        at_work_ws=jnp.zeros((0,), bool),
+        on_bus_ws=jnp.zeros((0,), bool),
+    )
+
+
+def make_fast_sharded_runner(sw: ShardedWorld, cfg: SimConfig, mesh: Mesh):
+    """jitted chunk(sw, params, state) over the partitioned world."""
+    lane_fields = {
+        "status", "timer", "at_work", "on_bus", "bus_to_work", "eligible",
+        "at_work_ws", "on_bus_ws",
+    }
+    s_specs = SimState(
+        **{
+            f: P(AXIS) if f in lane_fields else P()
+            for f in SimState.__dataclass_fields__
+        }
+    )
+    w_specs = jax.tree.map(lambda _: P(AXIS), sw)
+    out_specs = (s_specs, jax.tree.map(lambda _: P(), _out_proto()))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(w_specs, jax.tree.map(lambda _: P(), Params.covid()), s_specs),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def chunk(sw_l, params, state_l):
+        def body(carry, _):
+            ns, out = fast_shard_step(sw_l, params, cfg, carry)
+            return ns, out
+
+        return jax.lax.scan(body, state_l, None, length=cfg.chunk_size)
+
+    return jax.jit(chunk)
+
+
+def _out_proto():
+    z = jnp.zeros(())
+    return StepOutput(z, z, z, z, z, z, z)
+
+
+def run_fast_sharded(world, params, cfg: SimConfig, mesh: Mesh, *,
+                     seed=0, starting_infected=10, callback=None):
+    """Partition + run until the epidemic dies or cfg.max_steps."""
+    n_dev = mesh.devices.size
+    sw = partition_world(world, n_dev)
+    state = init_sharded_state(
+        world, sw, seed=seed, starting_infected=starting_infected
+    )
+    w_sh = jax.tree.map(
+        lambda x: jax.device_put(
+            jnp.asarray(x), NamedSharding(mesh, P(AXIS))
+        ) if hasattr(x, "shape") else x,
+        sw,
+    )
+    lane_fields = {
+        "status", "timer", "at_work", "on_bus", "bus_to_work", "eligible",
+        "at_work_ws", "on_bus_ws",
+    }
+    state = jax.tree.map(jnp.asarray, state)
+    state = dataclasses.replace(
+        state,
+        **{
+            f: jax.device_put(
+                getattr(state, f), NamedSharding(mesh, P(AXIS))
+            )
+            for f in lane_fields
+        },
+    )
+    runner = make_fast_sharded_runner(sw, cfg, mesh)
+    params = params.as_arrays()
+
+    chunks = []
+    steps = 0
+    while steps < cfg.max_steps:
+        state, out = runner(w_sh, params, state)
+        out = jax.tree.map(np.asarray, out)
+        chunks.append(out)
+        steps += cfg.chunk_size
+        if callback is not None:
+            callback(steps, out, state)
+        seirv = out.seirv
+        if not (seirv[-1, 0] + seirv[-1, 1] + seirv[-1, 2] > 0):
+            break
+
+    outputs = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *chunks)
+    outputs = jax.tree.map(lambda x: x[: cfg.max_steps], outputs)
+    seirv = outputs.seirv
+    alive = seirv[:, 0] + seirv[:, 1] + seirv[:, 2] > 0
+    if not alive.all():
+        end = int(np.argmin(alive)) + 1
+        outputs = jax.tree.map(lambda x: x[:end], outputs)
+    return state, sw, outputs
