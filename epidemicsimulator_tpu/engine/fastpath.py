@@ -331,7 +331,12 @@ def fast_step(
             -jnp.expm1(draws_ws.astype(jnp.float32) * jnp.log1p(-q_single)),
             0.0,
         )
-        hit_work_ws = susc_ws & (jax.random.uniform(k_w, (n,)) < q_work_ws)
+        # counter-hash uniforms: ~5x cheaper than a threefry pass at N=3.5M
+        from ..ops.hashrng import hash_uniform
+
+        seed_w = jax.random.bits(k_w, (), jnp.uint32)
+        u_w = hash_uniform(seed_w, jnp.arange(n, dtype=jnp.uint32))
+        hit_work_ws = susc_ws & (u_w < q_work_ws)
         from_work_ws = hit_work_ws & ~hit_home_ws
         # per-OA attribution of work exposures, computed here so the cumsum
         # (an N-sized reduce-window) only runs when the branch is live and
@@ -449,7 +454,12 @@ def fast_step(
     #     (simulator.rs:524-553; pool quirks per SimConfig.faithful_vaccine_bugs)
     def vaccinate(args):
         status, eligible = args
-        scores = jax.random.bits(k_vax, (n,), dtype=jnp.uint32)
+        from ..ops.hashrng import hash_bits
+
+        scores = hash_bits(
+            jax.random.bits(k_vax, (), jnp.uint32),
+            jnp.arange(n, dtype=jnp.uint32),
+        )
         k = jnp.minimum(
             jnp.asarray(d.vaccination_rate, jnp.int32),
             jnp.sum(eligible.astype(jnp.int32)),

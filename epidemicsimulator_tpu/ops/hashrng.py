@@ -21,6 +21,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def hash_bits(seed_u32, idx_u32):
+    """uint32 hash stream: fmix32(idx * golden + seed)."""
+    x = idx_u32 * np.uint32(0x9E3779B9) + seed_u32
+    x = (x ^ (x >> 16)) * np.uint32(0x85EBCA6B)
+    x = (x ^ (x >> 13)) * np.uint32(0xC2B2AE35)
+    return x ^ (x >> 16)
+
+
 def hash_uniform(seed_u32, idx_u32):
     """f32 uniforms in [0, 1): fmix32(idx * golden + seed) scaled to 24 bits.
 
