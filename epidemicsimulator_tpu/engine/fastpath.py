@@ -276,7 +276,7 @@ def fast_step(
             | (susceptible.astype(jnp.int8) << 2)
         )
         work_pred_default = jnp.any(contrib_work)
-        bus_pred_default = jnp.any(on_bus)
+        bus_pred_default = jnp.any(on_bus & (status == STATUS_INFECTED))
 
     # 5-7. work side, gated: infected are positioned at work buildings only
     #    during work hours (or frozen there by lockdown) — for the other

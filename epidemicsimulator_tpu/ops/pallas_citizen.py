@@ -257,7 +257,11 @@ def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, refs):
     for s in range(5):
         outs[10][b, s] = jnp.sum((valid & (status1_c == s)).astype(jnp.int32))
     outs[10][b, 5] = jnp.sum((valid & contrib_work).astype(jnp.int32))
-    outs[10][b, 6] = jnp.sum((valid & on_bus1_c).astype(jnp.int32))
+    # bus gate counts riders who are INFECTED: hours with riders but no
+    # infectious rider are exposure no-ops and the cond skips them
+    outs[10][b, 6] = jnp.sum(
+        (valid & on_bus1_c & (status1_c == 2)).astype(jnp.int32)
+    )
     outs[10][b, 7] = 0
 
     outs[0][:] = status1_c.astype(jnp.int8)
