@@ -33,6 +33,9 @@ def main():
     import jax
 
     from epidemicsimulator_tpu import Params, SimConfig, generate_synthetic_world
+    from epidemicsimulator_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from epidemicsimulator_tpu.engine.scan import make_chunk_runner
     from epidemicsimulator_tpu.engine.state import init_state
 

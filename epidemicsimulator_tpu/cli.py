@@ -55,6 +55,9 @@ def make_parser() -> argparse.ArgumentParser:
                    help="steps between device-state snapshots (0 = off)")
     p.add_argument("--pbf", default=None, help="OSM .pbf extract path")
     p.add_argument("--shapefile", default=None, help="OA boundary shapefile path")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent XLA compilation cache "
+                        "(~/.cache/epidemicsimulator_tpu/xla by default)")
     p.add_argument("--params-file", default=None,
                    help="JSON disease/threshold parameters (default: COVID)")
     return p
@@ -131,6 +134,11 @@ def main(argv=None) -> int:
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
     args = make_parser().parse_args(argv)
+
+    if not args.no_compile_cache:
+        from .utils import enable_compilation_cache
+
+        enable_compilation_cache()
 
     if args.download or args.resume is not None:
         from .data.census.nomis import (

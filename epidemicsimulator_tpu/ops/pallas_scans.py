@@ -105,34 +105,43 @@ def _flat_rev_scan(x, op, identity):
 
 
 def _summary_kernel(n_sets, v_ref, *refs):
+    # Per-block summary tables are (8, 128) VMEM tile blocks — O(1) VMEM
+    # per grid step regardless of n_blocks, unlike full (n_blocks, 1)
+    # windows whose lane-padded staging grew with the grid and broke
+    # compilation beyond ~16M elements.
     mask_refs = refs[:2 * n_sets]
     out_refs = refs[2 * n_sets:]
-    b = pl.program_id(0)
     v = v_ref[:].astype(jnp.int32)
     cs = _flat_scan(v, jnp.add, jnp.int32(0))
     cse = cs - v
-    out_refs[0][b, 0] = cs[cs.shape[0] - 1, LANES - 1]
+    # Only the (0, 0) corner of each (8, 128) tile carries the value —
+    # Mosaic lacks vector<1x1> -> vector<8x128> broadcast, and corner writes
+    # avoid it; the XLA side reads [::8, 0].
+    out_refs[0][0:1, 0:1] = cs[cs.shape[0] - 1 :, LANES - 1 :]
     for k in range(n_sets):
         start = mask_refs[2 * k][:] != 0
         end = mask_refs[2 * k + 1][:] != 0
-        out_refs[1 + 2 * k][b, 0] = jnp.max(jnp.where(start, cse, _NEG))
-        out_refs[2 + 2 * k][b, 0] = jnp.min(jnp.where(end, cs, _POS))
+        out_refs[1 + 2 * k][0:1, 0:1] = jnp.max(
+            jnp.where(start, cse, _NEG)
+        ).reshape(1, 1)
+        out_refs[2 + 2 * k][0:1, 0:1] = jnp.min(
+            jnp.where(end, cs, _POS)
+        ).reshape(1, 1)
 
 
 def _apply_kernel(n_sets, v_ref, s_ref, *refs):
     mask_refs = refs[:2 * n_sets]
     carry_refs = refs[2 * n_sets : 4 * n_sets]
     out_refs = refs[4 * n_sets:]
-    b = pl.program_id(0)
     v = v_ref[:].astype(jnp.int32)
     cs = _flat_scan(v, jnp.add, jnp.int32(0))
     cse = cs - v
-    s = s_ref[b, 0]
+    s = s_ref[0, 0]
     for k in range(n_sets):
         start = mask_refs[2 * k][:] != 0
         end = mask_refs[2 * k + 1][:] != 0
-        c = carry_refs[2 * k][b, 0]
-        d = carry_refs[2 * k + 1][b, 0]
+        c = carry_refs[2 * k][0, 0]
+        d = carry_refs[2 * k + 1][0, 0]
         sp = _flat_scan(jnp.where(start, cse, _NEG), jnp.maximum, jnp.int32(_NEG))
         sp = jnp.maximum(sp + s, c)
         ep = _flat_rev_scan(jnp.where(end, cs, _POS), jnp.minimum, jnp.int32(_POS))
@@ -169,13 +178,15 @@ def _run_totals_fused(v, masks, *, n_sets, tile_rows, interpret):
     row_block = pl.BlockSpec(
         (tile_rows, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM
     )
-    # Per-block scalar tables ride SMEM as whole arrays (block = full shape,
-    # constant index_map) and are indexed by program_id inside the kernels —
-    # Mosaic rejects (1,1) grid blocks.
+    # Per-block scalar tables are (8*n_blocks, 128) arrays traversed one
+    # (8, 128) tile per grid step (scalar broadcast across the tile): O(1)
+    # VMEM per step.  Full (n_blocks, 1) windows (SMEM or VMEM) scale with
+    # the grid and stopped compiling beyond ~16M elements; Mosaic rejects
+    # blocks narrower than one (8, 128) tile.
     cell = pl.BlockSpec(
-        (n_blocks, 1), lambda b: (0, 0), memory_space=pltpu.SMEM
+        (8, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM
     )
-    cell_shape = jax.ShapeDtypeStruct((n_blocks, 1), jnp.int32)
+    cell_shape = jax.ShapeDtypeStruct((n_blocks * 8, LANES), jnp.int32)
 
     summaries = pl.pallas_call(
         functools.partial(_summary_kernel, n_sets),
@@ -185,20 +196,26 @@ def _run_totals_fused(v, masks, *, n_sets, tile_rows, interpret):
         out_shape=[cell_shape] * (1 + 2 * n_sets),
         interpret=interpret,
     )(v2, *m2)
-    sums = summaries[0][:, 0]
+    sums = summaries[0][::8, 0]
 
     # Cross-block combine — (n_blocks,)-sized, trivial for XLA.
     s_excl = (jnp.cumsum(sums) - sums).astype(jnp.int32)
     idx = jnp.arange(n_blocks)
+
+    def rows(x):  # (n_blocks,) -> (8*n_blocks, LANES) for the cell spec
+        return jnp.broadcast_to(
+            x[:, None, None], (n_blocks, 8, LANES)
+        ).reshape(n_blocks * 8, LANES)
+
     carries = []
     for k in range(n_sets):
-        m_start = summaries[1 + 2 * k][:, 0] + s_excl
-        m_end = summaries[2 + 2 * k][:, 0] + s_excl
+        m_start = summaries[1 + 2 * k][::8, 0] + s_excl
+        m_end = summaries[2 + 2 * k][::8, 0] + s_excl
         c = jax.lax.cummax(m_start)
         c = jnp.where(idx >= 1, jnp.roll(c, 1), _NEG)
         d = jax.lax.cummin(m_end, reverse=True)
         d = jnp.where(idx < n_blocks - 1, jnp.roll(d, -1), _POS)
-        carries += [c.reshape(-1, 1), d.reshape(-1, 1)]
+        carries += [rows(c), rows(d)]
 
     outs = pl.pallas_call(
         functools.partial(_apply_kernel, n_sets),
@@ -212,7 +229,7 @@ def _run_totals_fused(v, masks, *, n_sets, tile_rows, interpret):
         ]
         * n_sets,
         interpret=interpret,
-    )(v2, s_excl.reshape(-1, 1), *m2, *carries)
+    )(v2, rows(s_excl), *m2, *carries)
     return tuple(o.reshape(-1)[:n] for o in outs)
 
 

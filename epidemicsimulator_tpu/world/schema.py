@@ -185,8 +185,10 @@ class World:
 
         # Work order: stable sort by (work_building, room); rooms are
         # globally unique within a school so room ranges nest inside the
-        # school's building range.
-        work_perm = np.lexsort((rm, wb)).astype(np.int64)
+        # school's building range.  One composite-key argsort (the key is
+        # reused below as `pair`) instead of a two-pass lexsort.
+        pair0 = wb * (self.n_rooms + 2) + rm
+        work_perm = np.argsort(pair0, kind="stable")
         wb_sorted = wb[work_perm]
         rm_sorted = rm[work_perm]
         wcounts = np.bincount(wb_sorted, minlength=self.n_buildings)
@@ -196,7 +198,7 @@ class World:
 
         # Room ranges (positions in work_perm order).  Key rooms by
         # (building, room) to keep the sentinel room distinct per workplace.
-        pair = wb_sorted * (self.n_rooms + 2) + rm_sorted
+        pair = pair0[work_perm]
         boundary = np.empty(n, np.bool_)
         if n:
             boundary[0] = True
@@ -223,7 +225,15 @@ class World:
         )
         order = np.argsort(route_key, kind="stable")
         rider_perm = riders[order]
-        _, rider_route = np.unique(route_key[order], return_inverse=True)
+        rk_sorted = route_key[order]
+        # rk_sorted is sorted: dense route ids are one boundary cumsum.
+        if len(rk_sorted):
+            rb = np.empty(len(rk_sorted), np.bool_)
+            rb[0] = True
+            np.not_equal(rk_sorted[1:], rk_sorted[:-1], out=rb[1:])
+            rider_route = np.cumsum(rb) - 1
+        else:
+            rider_route = np.zeros(0, np.int64)
         rider_mask_compliant = np.asarray(self.mask_compliant)[rider_perm]
 
         out = dataclasses.replace(
@@ -295,11 +305,13 @@ class World:
             empty = np.zeros(0, np.int64)
             oa_lo = oa_hi = ws_oa_lo = ws_oa_hi = empty
 
-        # household window lanes
-        counts_hh = np.bincount(hb, minlength=self.n_buildings)
-        starts_hh = np.concatenate([[0], np.cumsum(counts_hh)[:-1]])
-        hh_pos = np.arange(n) - starts_hh[hb]
-        hh_size = counts_hh[hb]
+        # household window lanes — derived from the home ranges already
+        # built in build_index_tables (home_lo/home_hi are citizen-order
+        # prefix positions of the household run).
+        home_lo = np.asarray(self.home_lo, np.int64)
+        home_hi = np.asarray(self.home_hi, np.int64)
+        hh_pos = np.arange(n) - home_lo
+        hh_size = home_hi - home_lo
         max_hh = int(hh_size.max()) if n else 0
 
         i32 = lambda x: x.astype(np.int32)
@@ -397,15 +409,15 @@ def make_world(
     # BOTH engine orders (citizen order via home_building, work order via
     # work_building), so per-OA statistics are cumulative ranges instead of
     # segment_sum scatters.  Building ids are internal — relabeling is free.
-    hb0 = np.asarray(home_building, np.int64)
-    wb0 = np.asarray(work_building, np.int64)
+    hb0 = np.asarray(home_building, np.int32)
+    wb0 = np.asarray(work_building, np.int32)
     if n:
-        b_oa = np.zeros(int(n_buildings), np.int64)
-        b_oa[wb0] = np.asarray(work_oa, np.int64)
-        b_oa[hb0] = np.asarray(home_oa, np.int64)
+        b_oa = np.zeros(int(n_buildings), np.int32)
+        b_oa[wb0] = np.asarray(work_oa, np.int32)
+        b_oa[hb0] = np.asarray(home_oa, np.int32)
         order_b = np.argsort(b_oa, kind="stable")
-        new_id = np.empty(int(n_buildings), np.int64)
-        new_id[order_b] = np.arange(int(n_buildings))
+        new_id = np.empty(int(n_buildings), np.int32)
+        new_id[order_b] = np.arange(int(n_buildings), dtype=np.int32)
         home_building = new_id[hb0]
         work_building = new_id[wb0]
 

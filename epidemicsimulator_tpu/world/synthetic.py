@@ -49,6 +49,26 @@ _WORKPLACE_CAPACITY = tuple(
 )
 
 
+def _unique_sorted(keys: np.ndarray, return_counts: bool = False):
+    """np.unique(keys, return_inverse=True[, return_counts]) for PRE-SORTED
+    keys — one boundary pass instead of np.unique's internal re-sort."""
+    n = len(keys)
+    if n == 0:
+        empty = np.zeros(0, keys.dtype)
+        inv = np.zeros(0, np.int64)
+        return (empty, inv, inv.copy()) if return_counts else (empty, inv)
+    boundary = np.empty(n, np.bool_)
+    boundary[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=boundary[1:])
+    inv = np.cumsum(boundary) - 1
+    uniq = keys[boundary]
+    if return_counts:
+        starts = np.flatnonzero(boundary)
+        counts = np.diff(np.append(starts, n))
+        return uniq, inv, counts
+    return uniq, inv
+
+
 def _cumcount(sorted_group_ids: np.ndarray) -> np.ndarray:
     """Position of each element within its run of equal ids (ids sorted)."""
     n = len(sorted_group_ids)
@@ -98,13 +118,13 @@ def generate_synthetic_world(
     # Citizens fill households of HOUSEHOLD_SIZE in home-OA order, the
     # synthetic analog of generate_citizens_with_households
     # (output_area.rs:128-197).
-    home_oa = np.sort(rng.integers(0, n_oa, n)).astype(np.int32)
+    home_oa = np.sort(rng.integers(0, n_oa, n, dtype=np.int32))
     # Household runs never cross OA boundaries: chunk positions within each
     # OA, then enumerate (oa, chunk) pairs.
     pos_in_oa = _cumcount(home_oa)
     hh_in_oa = pos_in_oa // HOUSEHOLD_SIZE
     hh_key = home_oa.astype(np.int64) * (n // HOUSEHOLD_SIZE + 2) + hh_in_oa
-    _, household = np.unique(hh_key, return_inverse=True)
+    _, household = _unique_sorted(hh_key)  # hh_key is sorted (home_oa is)
     household = household.astype(np.int32)
     n_households = int(household.max()) + 1 if n else 0
 
@@ -126,7 +146,7 @@ def generate_synthetic_world(
     slot = pos // caps
     # Enumerate workplaces: unique (bucket, slot) pairs in sorted order.
     pair = b_sorted * (n // MIN_WORKPLACE_OCCUPANT_COUNT + 2) + slot
-    uniq, inv = np.unique(pair, return_inverse=True)
+    uniq, inv = _unique_sorted(pair)  # b_sorted sorted, slot rises within run
     n_workplaces = len(uniq)
 
     # --- schools ----------------------------------------------------------
@@ -144,8 +164,8 @@ def generate_synthetic_world(
     s_order = np.argsort(s_key, kind="stable")
     s_sorted = student_idx[s_order]
     key_sorted = s_key[s_order]
-    group_uniq, group_inv, group_counts = np.unique(
-        key_sorted, return_inverse=True, return_counts=True
+    group_uniq, group_inv, group_counts = _unique_sorted(
+        key_sorted, return_counts=True
     )
     class_counts = np.maximum(
         np.ceil(group_counts / AVERAGE_CLASS_SIZE).astype(np.int64), 1
@@ -161,10 +181,8 @@ def generate_synthetic_world(
     # work OA falls in the school's group; shortfall conscripted from other
     # workers in the group (the toy stand-in for the reference's
     # nearest-school Voronoi assignment, simulator_builder.rs:265-710).
-    school_of_class = np.zeros(n_classes, np.int64)
     school_of_group = (group_uniq // 256).astype(np.int64)
-    for g, (base, cnt) in enumerate(zip(class_base, class_counts)):
-        school_of_class[base : base + cnt] = school_of_group[g]
+    school_of_class = np.repeat(school_of_group, class_counts)
 
     teacher_pool = np.flatnonzero(is_worker & (occ == OCC_TEACHING))
     pool_school = school_of_oa[work_oa[teacher_pool]].astype(np.int64)

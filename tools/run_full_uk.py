@@ -1,0 +1,117 @@
+"""Full-UK scale run: 63,000,000 citizens / 227,759 OAs on ONE TPU chip.
+
+The reference never ran beyond the 3.46M-citizen Yorkshire & Humber region
+on any hardware — "horizontal scaling using MPI" was left as a future goal
+(reference README.md:24).  This runs the entire 2011-census UK population
+through the full fused engine (SEIR + schedule movement + household/work/
+school-room/bus exposure + interventions + vaccination) on a single chip
+and records steady-state step time.
+
+Writes sample_results/full_uk/summary.json.
+
+Usage: python tools/run_full_uk.py [--steps 96] [--chunk 24]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_CITIZENS = 63_000_000
+N_OAS = 227_759
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=96, help="timed steps")
+    ap.add_argument("--chunk", type=int, default=24)
+    ap.add_argument("--out", default="sample_results/full_uk")
+    args = ap.parse_args()
+
+    import jax
+
+    from epidemicsimulator_tpu import Params, SimConfig, generate_synthetic_world
+    from epidemicsimulator_tpu.engine.scan import make_chunk_runner
+    from epidemicsimulator_tpu.engine.state import init_state
+    from epidemicsimulator_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    t0 = time.perf_counter()
+    world = generate_synthetic_world(N_CITIZENS, n_output_areas=N_OAS, seed=0)
+    t_build = time.perf_counter() - t0
+    log(f"world built in {t_build:.1f}s: {world.n_citizens:,} citizens, "
+        f"{world.n_buildings:,} buildings, {world.n_rooms:,} rooms, "
+        f"{world.n_output_areas:,} OAs")
+
+    t0 = time.perf_counter()
+    world = world.device_put()
+    t_put = time.perf_counter() - t0
+    log(f"device transfer in {t_put:.1f}s")
+
+    cfg = SimConfig(max_steps=args.chunk * 2 + args.steps, chunk_size=args.chunk)
+    params = Params.covid().as_arrays()
+    # Seed proportionally to the bench workload (20k @ 3.46M) so the
+    # intervention subsystems are live in the timed window.
+    state = init_state(world, seed=0, starting_infected=360_000)
+
+    chunk_fn = make_chunk_runner(world, cfg)
+
+    t0 = time.perf_counter()
+    state, out = chunk_fn(params, state)
+    jax.block_until_ready(out.seirv)
+    t_compile = time.perf_counter() - t0
+    log(f"compile+first chunk ({args.chunk} steps) in {t_compile:.1f}s")
+
+    # One more warmup chunk to pass transients.
+    state, out = chunk_fn(params, state)
+    jax.block_until_ready(out.seirv)
+    log(f"seirv after warmup: {np.asarray(out.seirv)[-1].tolist()}")
+
+    n_chunks = args.steps // args.chunk
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, out = chunk_fn(params, state)
+    jax.block_until_ready(out.seirv)
+    elapsed = time.perf_counter() - t0
+    timed_steps = n_chunks * args.chunk
+
+    ms_per_step = elapsed / timed_steps * 1e3
+    rate = N_CITIZENS * timed_steps / elapsed
+    seirv = np.asarray(out.seirv)[-1].tolist()
+    log(f"{timed_steps} steps in {elapsed:.2f}s ({ms_per_step:.1f} ms/step, "
+        f"{rate / 1e6:.0f}M citizen-steps/s); final seirv {seirv}")
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(
+            {
+                "n_citizens": N_CITIZENS,
+                "n_output_areas": N_OAS,
+                "n_buildings": int(world.n_buildings),
+                "device": str(jax.devices()[0]),
+                "world_build_s": round(t_build, 1),
+                "device_transfer_s": round(t_put, 1),
+                "compile_first_chunk_s": round(t_compile, 1),
+                "timed_steps": timed_steps,
+                "ms_per_step": round(ms_per_step, 2),
+                "citizen_steps_per_sec": round(rate),
+                "final_seirv": seirv,
+            },
+            f,
+            indent=1,
+        )
+    log(f"wrote {args.out}/summary.json")
+
+
+if __name__ == "__main__":
+    main()
