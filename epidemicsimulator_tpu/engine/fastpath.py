@@ -366,14 +366,20 @@ def fast_step(
         fwd_packed,
     )
 
-    # 8. bus side (rider-compacted; simulator.rs:360-401).  One packed int8
-    #    gather moves (on_bus, infected, susceptible) into rider order; the
-    #    rest is gather-free (ops/segments.py::bus_hits): bits ride the
-    #    shuffle sort, per-bus counts are run totals, and only the few
-    #    successful hits scatter back.
+    # 8. bus side (rider-compacted; simulator.rs:360-401).  One packed key
+    #    sort on the static rider-compaction rank moves (on_bus, infected,
+    #    susceptible) into rider order (a sort over N beats the r-sized
+    #    gather ~2.8ms vs ~5ms at Y&H scale; gather fallback for worlds
+    #    cached before the rpos lane existed); the rest is gather-free
+    #    (ops/segments.py::bus_hits): bits ride the shuffle sort, per-bus
+    #    counts are run totals, and only the few successful hits scatter
+    #    back.
     def bus_branch(packed):
         rp = world.rider_perm
-        pk = jnp.take(packed, rp)
+        if world.rpos is not None and world.rpos.shape[0] == n:
+            pk = permute_by_sort(world.rpos, packed, bits=3)[: rp.shape[0]]
+        else:
+            pk = jnp.take(packed, rp)
 
         def p_fn(compliant, on_bus_lane):
             return _exposure_p(

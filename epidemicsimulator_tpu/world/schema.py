@@ -83,6 +83,11 @@ class World:
                                # of the static home->work commute; same grouping serves
                                # both travel directions)
     rider_mask_compliant: Any = None  # bool (R,), static lane in rider order
+    rpos: Any = None           # int32 (N,), rider-compaction rank: riders get
+                               # their rider-order slot, non-riders unique
+                               # fillers >= R, so one packed key-sort moves
+                               # citizen-order bits into rider order (take
+                               # [:R]) without an r-sized gather
 
     # --- fast-path tables (build_fast_tables) -----------------------------
     # TPU random access (gather/scatter) is per-index serial (~7ns/elem), so
@@ -236,6 +241,14 @@ class World:
             rider_route = np.zeros(0, np.int64)
         rider_mask_compliant = np.asarray(self.mask_compliant)[rider_perm]
 
+        # Rider-compaction rank (see field comment).
+        r = len(rider_perm)
+        rpos = np.empty(n, np.int64)
+        rpos[rider_perm] = np.arange(r)
+        non_rider = np.ones(n, np.bool_)
+        non_rider[rider_perm] = False
+        rpos[non_rider] = r + np.arange(n - r)
+
         out = dataclasses.replace(
             self,
             home_lo=home_lo.astype(np.int32),
@@ -248,6 +261,7 @@ class World:
             rider_perm=rider_perm.astype(np.int32),
             rider_route=rider_route.astype(np.int32),
             rider_mask_compliant=rider_mask_compliant,
+            rpos=rpos.astype(np.int32),
         )
         return out.build_fast_tables()
 

@@ -101,3 +101,29 @@ def test_fast_and_portable_steps_agree_deterministically(steps, transport):
         assert (a[2] == b[2]).all(), f"seirv diverged at step {t + 1}: {a[2]} vs {b[2]}"
         assert (a[3] == b[3]).all(), f"per-OA exposures diverged at step {t + 1}"
         assert a[4] == b[4] and a[5] == b[5]
+
+
+def test_rider_extract_sort_matches_gather():
+    """The rpos packed-sort rider extract is pure data movement — it must be
+    bitwise-identical to the r-sized gather fallback in every regime."""
+    world = generate_synthetic_world(4000, n_output_areas=8, seed=7)
+    params = Params.covid().as_arrays()
+    cfg = SimConfig(use_fast_path=True, bus_capacity=20)
+
+    trajs = []
+    for use_rpos in (True, False):
+        w = world if use_rpos else dataclasses.replace(world, rpos=None)
+        st = init_state(w, seed=0, starting_infected=0)
+        status0 = np.zeros(w.n_citizens, np.int8)
+        status0[::17] = STATUS_INFECTED  # plenty of bus-borne infection
+        st = dataclasses.replace(st, status=jnp.asarray(status0))
+        wd = w.device_put()
+        jstep = jax.jit(lambda w_, p, s: step(w_, p, cfg, s))
+        rows = []
+        for _ in range(30):
+            st, out = jstep(wd, params, st)
+            rows.append(np.asarray(st.status).copy())
+        trajs.append(np.stack(rows))
+    np.testing.assert_array_equal(trajs[0], trajs[1])
+    # the run must actually exercise the bus path (new exposures happened)
+    assert (trajs[0][-1] != trajs[0][0]).any()

@@ -29,12 +29,16 @@ def main():
     t_build = time.perf_counter() - t0
     print(f"world build: {t_build:.1f}s", flush=True)
 
+    t1 = time.perf_counter()
     sim = Simulator(
         world,
         Params.covid(),
         SimConfig(max_steps=5000, chunk_size=250),
         seed=0,
     )
+    t_init = time.perf_counter() - t1
+    print(f"simulator init (device transfer + state): {t_init:.1f}s", flush=True)
+
     t1 = time.perf_counter()
     sim.simulate(outdir)
     t_sim = time.perf_counter() - t1
@@ -72,6 +76,7 @@ def main():
         json.dumps(
             {
                 "world_build_s": round(t_build, 1),
+                "sim_init_s": round(t_init, 1),
                 "simulate_s": round(t_sim, 1),
                 "total_s": round(total, 1),
                 "steps": int(len(seirv)),
