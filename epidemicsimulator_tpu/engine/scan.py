@@ -67,7 +67,14 @@ def make_chunk_runner(world: World, cfg: SimConfig):
                 )
                 return new_state, out
 
-            return jax.lax.scan(body, state, None, length=cfg.chunk_size)
+            state, outs = jax.lax.scan(body, state, None, length=cfg.chunk_size)
+            # Per-OA counts are bounded by OA population (~hundreds); ship
+            # them int16 — this (chunk, n_oa) buffer dominates the per-chunk
+            # device->host transfer through the ~34 MB/s tunnel.
+            outs = outs._replace(
+                exposures_per_oa=outs.exposures_per_oa.astype(jnp.int16)
+            )
+            return state, outs
 
         jitted = jax.jit(chunk, donate_argnums=(2,))
         _RUNNER_CACHE[key] = jitted
@@ -85,6 +92,8 @@ def run(
     state: SimState,
     *,
     callback=None,
+    timing: dict | None = None,
+    overlap: bool = True,
 ):
     """Run until the epidemic ends or ``cfg.max_steps`` is reached.
 
@@ -92,26 +101,83 @@ def run(
     stacked host numpy arrays, truncated after the step at which
     ``disease_exists`` first became false (matching the reference's break,
     simulator.rs:114-123).
+
+    Device->host transfers of the bulky per-OA series are overlapped with the
+    next chunk's compute: ``copy_to_host_async`` starts the DMA, the next
+    chunk is dispatched, and only then does the blocking ``np.asarray``
+    conversion happen — through the ~34 MB/s axon tunnel the per-chunk
+    (chunk, n_oa) buffer otherwise serialises ~0.5 s of dead time per chunk
+    (docs/PERF.md).  ``timing``, if given, accumulates wall-clock by category:
+    ``dispatch`` (chunk_fn call), ``sync`` (blocking conversion of the
+    *previous* chunk while the current one computes), ``callback``.
+
+    ``overlap=False`` restores strictly synchronous per-chunk consumption —
+    required when the callback snapshots ``state`` (checkpointing): with
+    overlap the state passed to the callback belongs to a chunk whose buffers
+    the *next* dispatch has already donated.
     """
+    import time as _time
+
     import numpy as np
+
+    tm = timing if timing is not None else {}
+    tm.setdefault("dispatch", 0.0)
+    tm.setdefault("sync", 0.0)
+    tm.setdefault("callback", 0.0)
 
     chunk_fn = make_chunk_runner(world, cfg)
     params = params.as_arrays()
 
     chunks = []
-    steps_done = 0
-    while steps_done < cfg.max_steps:
-        state, out = chunk_fn(params, state)
-        out = jax.tree.map(np.asarray, out)
-        chunks.append(out)
-        steps_done += cfg.chunk_size
+    steps_dispatched = 0
+    steps_seen = 0  # steps materialised on the host so far
+    pending = None  # device-side StepOutput of the previous chunk
 
-        seirv = out.seirv  # (chunk, 5)
-        alive = seirv[:, 0] + seirv[:, 1] + seirv[:, 2] > 0
+    def _materialise(out):
+        t0 = _time.perf_counter()
+        out = jax.tree.map(np.asarray, out)
+        tm["sync"] += _time.perf_counter() - t0
+        return out
+
+    def _consume(out, out_state):
+        nonlocal steps_seen
+        prev = _materialise(out)
+        chunks.append(prev)
+        steps_seen += prev.seirv.shape[0]
+        t0 = _time.perf_counter()
         if callback is not None:
-            callback(steps_done, out, state)
-        if not alive[-1]:
+            callback(steps_seen, prev, out_state)
+        tm["callback"] += _time.perf_counter() - t0
+        alive = prev.seirv[:, 0] + prev.seirv[:, 1] + prev.seirv[:, 2] > 0
+        return bool(alive[-1])
+
+    while steps_dispatched < cfg.max_steps:
+        t0 = _time.perf_counter()
+        state, out = chunk_fn(params, state)
+        steps_dispatched += cfg.chunk_size
+        # Start DMAing this chunk's outputs while the host inspects the
+        # previous chunk and (next iteration) dispatches more compute.
+        for leaf in jax.tree.leaves(out):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                break
+        tm["dispatch"] += _time.perf_counter() - t0
+
+        if not overlap:
+            if not _consume(out, state):
+                break
+            continue
+
+        if pending is not None and not _consume(*pending):
+            # Epidemic ended in the previous chunk; `out` was dispatched
+            # speculatively — its steps get trimmed by the truncation below.
+            pending = (out, state)
             break
+        pending = (out, state)
+
+    if pending is not None:
+        _consume(*pending)
 
     outputs = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *chunks)
     outputs = jax.tree.map(lambda x: x[: cfg.max_steps], outputs)

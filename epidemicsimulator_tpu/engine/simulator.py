@@ -37,6 +37,14 @@ class Simulator:
         run/benches/bench.rs).  ``checkpoint_path``: snapshot the device
         state every ``checkpoint_every_chunks`` chunks and resume from an
         existing snapshot."""
+        import os
+
+        if os.environ.get("ESUCD_NO_COMPILE_CACHE", "") != "1":
+            # Idempotent; drops the ~60s Y&H chunk compile to ~4s in warm
+            # processes.  Opt out with ESUCD_NO_COMPILE_CACHE=1.
+            from ..utils import enable_compilation_cache
+
+            enable_compilation_cache()
         self.world = world.device_put()
         self.params = (params or Params.covid()).as_arrays()
         self.cfg = cfg or SimConfig()
@@ -128,13 +136,25 @@ class Simulator:
                 last_print[0] = now
 
         self.recorder.start_chunk()
+        timing: dict = {}
+        # Transfer/compute overlap hands the callback a state whose buffers
+        # the next dispatch already donated — checkpointing must read it.
+        overlap = not (self.checkpoint_path and self.checkpoint_every_chunks)
         self.state, outputs = run(
-            self.world, self.params, self.cfg, self.state, callback=callback
+            self.world, self.params, self.cfg, self.state,
+            callback=callback, timing=timing, overlap=overlap,
         )
         seirv = np.asarray(outputs.seirv)
         self.recorder.truncate(seirv.shape[0])
         if self.verbose:
             print(f"Finished in {time.perf_counter() - t0:.2f}s")
+            print(
+                "  loop breakdown: "
+                + ", ".join(f"{k} {v:.2f}s" for k, v in timing.items())
+            )
         if output_dir is not None:
+            t1 = time.perf_counter()
             self.recorder.dump_to_file(output_dir)
+            if self.verbose:
+                print(f"  artifact dump: {time.perf_counter() - t1:.2f}s")
         return seirv

@@ -130,8 +130,11 @@ class StatisticsRecorder:
             n_oa = per_oa.shape[1]
             codes = self.oa_codes or [f"OA{i:08d}" for i in range(n_oa)]
             nonzero = np.flatnonzero(per_oa.sum(axis=0))
-            for oa in nonzero:
-                exposures["OutputArea"][codes[oa]] = [int(x) for x in per_oa[:, oa]]
+            # Column-major copy once, then C-speed tolist per series (a
+            # Python int() loop here cost ~10s at Y&H scale).
+            cols = np.asarray(per_oa[:, nonzero], order="F")
+            for j, oa in enumerate(nonzero):
+                exposures["OutputArea"][codes[oa]] = cols[:, j].tolist()
         with open(os.path.join(directory, "exposures.json"), "w") as f:
             json.dump(exposures, f)
 

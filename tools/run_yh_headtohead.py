@@ -72,20 +72,18 @@ def main():
     except Exception as e:  # viz optional
         print("plot skipped:", e)
 
-    print(
-        json.dumps(
-            {
-                "world_build_s": round(t_build, 1),
-                "sim_init_s": round(t_init, 1),
-                "simulate_s": round(t_sim, 1),
-                "total_s": round(total, 1),
-                "steps": int(len(seirv)),
-                "reference_total_s": 4378,
-                "speedup": round(4378 / total, 1),
-            }
-        ),
-        flush=True,
-    )
+    summary = {
+        "world_build_s": round(t_build, 1),
+        "sim_init_s": round(t_init, 1),
+        "simulate_s": round(t_sim, 1),
+        "total_s": round(total, 1),
+        "steps": int(len(seirv)),
+        "reference_total_s": 4378,
+        "speedup": round(4378 / total, 1),
+    }
+    with open(f"{outdir}/summary.json", "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":
