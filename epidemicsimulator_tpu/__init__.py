@@ -15,6 +15,10 @@ from .engine.step import step
 from .world.schema import World, make_world
 from .engine.ensemble import run_ensemble
 from .world.synthetic import generate_synthetic_world
+from .world.device_build import (
+    build_tables_device,
+    generate_synthetic_world_device,
+)
 
 __version__ = "0.1.0"
 
@@ -27,6 +31,8 @@ __all__ = [
     "Simulator",
     "World",
     "generate_synthetic_world",
+    "generate_synthetic_world_device",
+    "build_tables_device",
     "run_ensemble",
     "init_state",
     "make_world",

@@ -69,10 +69,14 @@ def make_chunk_runner(world: World, cfg: SimConfig):
 
             state, outs = jax.lax.scan(body, state, None, length=cfg.chunk_size)
             # Per-OA counts are bounded by OA population (~hundreds); ship
-            # them int16 — this (chunk, n_oa) buffer dominates the per-chunk
-            # device->host transfer through the ~34 MB/s tunnel.
+            # them int16 (saturating — only pathological worlds with >32k
+            # single-OA exposures per hour would clip) — this (chunk, n_oa)
+            # buffer dominates the device->host transfer through the
+            # ~34 MB/s tunnel.
             outs = outs._replace(
-                exposures_per_oa=outs.exposures_per_oa.astype(jnp.int16)
+                exposures_per_oa=jnp.minimum(
+                    outs.exposures_per_oa, 32767
+                ).astype(jnp.int16)
             )
             return state, outs
 
@@ -134,8 +138,14 @@ def run(
     pending = None  # device-side StepOutput of the previous chunk
 
     def _materialise(out):
+        # The (chunk, n_oa) per-OA series stays a device array until the
+        # run ends — transferring it per chunk stalled the pipeline ~0.5-1s
+        # per chunk through the tunnel; everything the exit check, progress
+        # printing and checkpointing need is in the small leaves.
         t0 = _time.perf_counter()
-        out = jax.tree.map(np.asarray, out)
+        big = out.exposures_per_oa
+        out = jax.tree.map(np.asarray, out._replace(exposures_per_oa=None))
+        out = out._replace(exposures_per_oa=big)
         tm["sync"] += _time.perf_counter() - t0
         return out
 

@@ -69,7 +69,11 @@ class StatisticsRecorder:
         self.seirv.append(np.asarray(outputs.seirv))
         self.n_exposures.append(np.asarray(outputs.n_exposures))
         if outputs.exposures_per_oa.size:
-            self.exposures_per_oa.append(np.asarray(outputs.exposures_per_oa))
+            # May be a device array — keep the reference; conversion happens
+            # in truncate()/dump_to_file() so the bulky per-OA series never
+            # stalls the chunk loop (jax caches the host copy, so the
+            # end-of-run np.concatenate transfers each buffer once).
+            self.exposures_per_oa.append(outputs.exposures_per_oa)
         self.chunk_times.append((n_steps, elapsed))
         self.memory_entries.append((n_steps, _memory_usage_string()))
         self._chunk_started = time.perf_counter()

@@ -21,13 +21,27 @@ import numpy as np
 
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "sample_results/yh_full_run"
-    from epidemicsimulator_tpu import Params, SimConfig, generate_synthetic_world
+    from epidemicsimulator_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    from epidemicsimulator_tpu import (
+        Params,
+        SimConfig,
+        generate_synthetic_world_device,
+    )
     from epidemicsimulator_tpu.engine.simulator import Simulator
 
     t0 = time.perf_counter()
-    world = generate_synthetic_world(3_457_142, n_output_areas=15_669, seed=0)
+    # World generation runs ON the TPU (world/device_build.py): ~8s warm at
+    # this scale vs ~30-120s host numpy + ~41s of tunnel upload.
+    world = generate_synthetic_world_device(
+        3_457_142, n_output_areas=15_669, seed=0
+    )
+    jax.block_until_ready(world.age)
     t_build = time.perf_counter() - t0
-    print(f"world build: {t_build:.1f}s", flush=True)
+    print(f"world build (on-device): {t_build:.1f}s", flush=True)
 
     t1 = time.perf_counter()
     sim = Simulator(
