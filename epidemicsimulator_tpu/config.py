@@ -248,6 +248,18 @@ class SimConfig:
     #: regardless of current status (simulator.rs:524-553).  Only bus
     #: exposures prune (simulator.rs:447-449).
     faithful_vaccine_bugs: bool = True
+    #: Maintain disease state replicated in citizen, work and rider orders
+    #: and move only the per-step deltas (new exposures / vaccinations /
+    #: work hits) between them via K-bounded sparse transports — this
+    #: removes the three N-sized permutation sorts from the hot loop
+    #: (docs/PERF.md).  None = auto (on when the fast path runs outside
+    #: vmap-hostile contexts; the ensemble runner forces False because
+    #: lax.cond flattens to both-branches inside vmap).  Trajectories are
+    #: bitwise-identical to the classic fast path.
+    use_replicated_orders: bool | None = None
+    #: Slot count K for the sparse cross-order transports; steps with more
+    #: new exposures than this fall back to the dense permutation sort.
+    sparse_transport_slots: int = 2048
     #: Static upper bound on vaccinations per step (sizes the on-device top-k
     #: selection; the traced DiseaseParams.vaccination_rate must not exceed
     #: it).

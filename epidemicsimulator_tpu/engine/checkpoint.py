@@ -25,6 +25,8 @@ def save_state(path: str, state: SimState, seirv_so_far: np.ndarray | None = Non
     arrays = {}
     for f in dataclasses.fields(state):
         v = getattr(state, f.name)
+        if v is None:
+            continue
         if f.name == "rng_key":
             arrays["rng_key_data"] = np.asarray(jax.random.key_data(v))
         else:

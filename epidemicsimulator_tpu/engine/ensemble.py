@@ -44,7 +44,12 @@ def make_ensemble_runner(world: World, cfg: SimConfig):
     Only the SEIRV series is kept per replicate, so per-OA exposure
     recording is disabled (it would cost a scan per replicate per step).
     """
-    cfg = dataclasses.replace(cfg, record_exposures_per_oa=False)
+    # Replicated orders stay off inside vmap: batching flattens the sparse
+    # transports' lax.conds into always-both-branches selects, so the dense
+    # fallbacks would run every step.
+    cfg = dataclasses.replace(
+        cfg, record_exposures_per_oa=False, use_replicated_orders=False
+    )
 
     from .scan import _RUNNER_CACHE, world_signature
 

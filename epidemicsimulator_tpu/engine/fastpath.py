@@ -43,6 +43,20 @@ from .state import SimState
 from .step import StepOutput
 
 
+def _advance_disease(status, timer_i32, d):
+    """disease.rs:47-71 timer advance, shared by every replicated order."""
+    is_e = status == STATUS_EXPOSED
+    is_i = status == STATUS_INFECTED
+    e_to_i = is_e & (timer_i32 >= d.exposed_time)
+    i_to_r = is_i & (timer_i32 >= d.infected_time)
+    status1 = jnp.where(e_to_i, STATUS_INFECTED, status)
+    status1 = jnp.where(i_to_r, jnp.int8(3), status1).astype(jnp.int8)
+    timer1 = jnp.where(
+        e_to_i | i_to_r, 0, jnp.where(is_e | is_i, timer_i32 + 1, timer_i32)
+    )
+    return status1, timer1
+
+
 def _movement(h24, ws, we, uses_transport, move, at_work, on_bus, bus_to_work):
     """citizen.rs:168-216 schedule match, frozen under lockdown."""
     arm_bus_out = (h24 == ws - 1) & uses_transport
@@ -109,6 +123,33 @@ def wants_fused_citizen(world: World, cfg: SimConfig) -> bool:
     return bool(use_fused)
 
 
+def wants_replicated(world: World, cfg: SimConfig, state: SimState) -> bool:
+    """Whether fast_step runs the replicated-order formulation (state twins
+    present + enabled).  Chunk runners use this to prebuild rider statics."""
+    rep = cfg.use_replicated_orders
+    if rep is None:
+        rep = True
+    return (
+        bool(rep)
+        and cfg.use_fast_path
+        and world.has_fast_tables
+        and world.rpos is not None
+        and jnp.size(world.rpos) == world.n_citizens
+        and state.status_ws is not None
+        and state.status_ws.shape[0] == world.n_citizens
+    )
+
+
+def make_rider_statics(world: World):
+    """Rider-order schedule lanes for the replicated bus path — one-time
+    gathers, built outside the scan so they are loop-invariant."""
+    rp = world.rider_perm
+    return (
+        jnp.take(jnp.asarray(world.work_start), rp),
+        jnp.take(jnp.asarray(world.work_end), rp),
+    )
+
+
 def fast_step(
     world: World,
     params: Params,
@@ -116,6 +157,7 @@ def fast_step(
     state: SimState,
     gate_overrides=None,
     fused_statics=None,
+    rider_statics=None,
 ):
     """``gate_overrides``: optional (work_pred, bus_pred) scalars replacing
     the internally-computed lax.cond predicates.  The gated blocks are
@@ -199,15 +241,8 @@ def fast_step(
         timer = jnp.asarray(timer, jnp.int32)
     else:
         # 1. disease timers (disease.rs:47-71)
-        status, timer = state.status, jnp.asarray(state.timer, jnp.int32)
-        is_e = status == STATUS_EXPOSED
-        is_i = status == STATUS_INFECTED
-        e_to_i = is_e & (timer >= d.exposed_time)
-        i_to_r = is_i & (timer >= d.infected_time)
-        status = jnp.where(e_to_i, STATUS_INFECTED, status)
-        status = jnp.where(i_to_r, jnp.int8(3), status).astype(jnp.int8)
-        timer = jnp.where(
-            e_to_i | i_to_r, 0, jnp.where(is_e | is_i, timer + 1, timer)
+        status, timer = _advance_disease(
+            state.status, jnp.asarray(state.timer, jnp.int32), d
         )
 
         # 2. movement, in citizen order and (independently, same rules +
@@ -277,6 +312,67 @@ def fast_step(
         )
         work_pred_default = jnp.any(contrib_work)
         bus_pred_default = jnp.any(on_bus & (status == STATUS_INFECTED))
+
+    # --- replicated-order twins (SimConfig.use_replicated_orders) ---------
+    # Disease state is also carried in work order and rider order; the work
+    # and bus branches then read their inputs natively instead of paying an
+    # N-sized permutation sort, and only the per-step deltas (new
+    # exposures, vaccinations) cross orders as K-bounded sparse scatters
+    # (ops/sparse.py).  Trajectories are bitwise-identical to the classic
+    # formulation: every draw stream is indexed by static order positions.
+    rep = wants_replicated(world, cfg, state)
+    KS = cfg.sparse_transport_slots
+    R = world.rider_perm.shape[0]
+    if rep:
+        from ..ops.sparse import compact_from_ranks, mask_ranks, scatter_bits
+
+        status_ws1, timer_ws1 = _advance_disease(
+            state.status_ws, jnp.asarray(state.timer_ws, jnp.int32), d
+        )
+        status_r1, timer_r1 = _advance_disease(
+            state.status_r, jnp.asarray(state.timer_r, jnp.int32), d
+        )
+        ws_r, we_r = (
+            rider_statics if rider_statics is not None
+            else make_rider_statics(world)
+        )
+        # riders all use transport; only the on_bus bit matters for buses
+        arm_r = (h24 == ws_r - 1) | (h24 == we_r - 1)
+        on_bus_r1 = jnp.where(move, arm_r, state.on_bus_r)
+
+        def _fan_out(mask):
+            """Compact a citizen-order bit lane and scatter it into work
+            order and rider order (dense permutation fallback past KS)."""
+            rank, cnt = mask_ranks(mask, use_pallas=use_pallas)
+            pos, live = compact_from_ranks(rank, cnt, KS)
+            safe = jnp.minimum(pos, n - 1)
+            ws_idx = jnp.take(world.wpos, safe)
+            r_idx = jnp.take(world.rpos, safe)
+            sp_ws = scatter_bits(n, ws_idx, live)
+            sp_r = scatter_bits(R, r_idx, live)  # drop handles non-riders
+
+            def dense(x):
+                ws = permute_by_sort(
+                    world.wpos, x.astype(jnp.int8), bits=1
+                ).astype(bool)
+                return ws, jnp.take(x, world.rider_perm)
+
+            return jax.lax.cond(
+                cnt > KS, dense, lambda x: (sp_ws, sp_r), mask
+            )
+
+        hh_ws, hh_r = jax.lax.cond(
+            jnp.any(hit_home),
+            _fan_out,
+            lambda _: (jnp.zeros(n, bool), jnp.zeros(R, bool)),
+            hit_home,
+        )
+        contrib_ws_bits = (
+            ((status_ws1 == STATUS_INFECTED) & ~on_bus_ws & at_work_ws
+             & world.ws_work_neq_home).astype(jnp.int8)
+            | ((status_ws1 == STATUS_SUSCEPTIBLE).astype(jnp.int8) << 1)
+            | (hh_ws.astype(jnp.int8) << 2)
+        )
 
     # 5-7. work side, gated: infected are positioned at work buildings only
     #    during work hours (or frozen there by lockdown) — for the other
@@ -352,19 +448,104 @@ def fast_step(
         ).astype(bool)
         return hit_work, oa_work
 
+    def work_side_rep(packed):
+        # packed (ws order, i8): contrib | susceptible<<1 | hit_home<<2 —
+        # read straight off the work-order twin state; no forward sort.
+        contrib_w_ws = (packed & 1).astype(jnp.int32)
+        susc_ws = (packed & 2) != 0
+        hit_home_ws = (packed & 4) != 0
+
+        if use_pallas:
+            from ..ops.pallas_scans import run_totals_fused
+
+            n_w_ws, room_ws = run_totals_fused(
+                (packed & 1),
+                [
+                    (world.ws_wb_start_mask, world.ws_wb_end_mask),
+                    (world.ws_room_start_mask, world.ws_room_end_mask),
+                ],
+                tile_rows=512,
+            )
+        else:
+            cs_ws = jnp.cumsum(contrib_w_ws)
+            from ..ops.runsums import run_totals_from_cumsum
+
+            n_w_ws = run_totals_from_cumsum(
+                cs_ws, contrib_w_ws, world.ws_wb_start_mask, world.ws_wb_end_mask
+            )
+            room_ws = run_totals_from_cumsum(
+                cs_ws, contrib_w_ws, world.ws_room_start_mask, world.ws_room_end_mask
+            )
+        draws_ws = jnp.where(
+            world.ws_is_school, room_ws, (n_w_ws > 0).astype(jnp.int32)
+        )
+        p_ws = _exposure_p(
+            d.exposure_chance, d.mask_effectiveness, state.mask_status,
+            world.ws_mask_compliant, on_bus_ws, cfg.reference_mask_semantics,
+        )
+        cur_oa_ws = jnp.where(at_work_ws, world.ws_work_oa, world.ws_home_oa)
+        q_single = binomial_at_least_one(p_ws, trunc(n_w_ws))
+        q_work_ws = jnp.where(
+            (cur_oa_ws == world.ws_work_oa) & world.ws_work_neq_home,
+            -jnp.expm1(draws_ws.astype(jnp.float32) * jnp.log1p(-q_single)),
+            0.0,
+        )
+        from ..ops.hashrng import hash_uniform
+        from ..ops.sparse import compact_from_ranks, mask_ranks, scatter_bits
+
+        seed_w = jax.random.bits(k_w, (), jnp.uint32)
+        u_w = hash_uniform(seed_w, jnp.arange(n, dtype=jnp.uint32))
+        hit_work_ws = susc_ws & (u_w < q_work_ws)
+        from_work_ws = hit_work_ws & ~hit_home_ws
+        if record_oa:
+            oa_work = _range_totals(from_work_ws, world.ws_oa_lo, world.ws_oa_hi)
+        else:
+            oa_work = jnp.zeros((0,), jnp.int32)
+
+        # fan the ws-order hits out to citizen and rider order
+        rank, cnt = mask_ranks(hit_work_ws, use_pallas=use_pallas)
+        pos, live = compact_from_ranks(rank, cnt, KS)
+        cit_idx = jnp.take(world.work_perm, jnp.minimum(pos, n - 1))
+        sp_cit = scatter_bits(n, cit_idx, live)
+        sp_r = scatter_bits(R, jnp.take(world.rpos, cit_idx), live)
+
+        def dense(ws_lane):
+            cit = permute_by_sort(
+                world.work_perm, ws_lane.astype(jnp.int8), bits=1
+            ).astype(bool)
+            return cit, jnp.take(cit, world.rider_perm)
+
+        hit_work, hit_work_r = jax.lax.cond(
+            cnt > KS, dense, lambda _: (sp_cit, sp_r), hit_work_ws
+        )
+        return hit_work, hit_work_r, hit_work_ws, oa_work
+
     work_pred = (
         work_pred_default if gate_overrides is None else gate_overrides[0]
     )
     n_oa_out = world.oa_lo.shape[0] if record_oa else 0
-    hit_work, oa_work = jax.lax.cond(
-        work_pred,
-        work_side,
-        lambda fwd: (
-            jnp.zeros((n,), bool),
-            jnp.zeros((n_oa_out,), jnp.int32),
-        ),
-        fwd_packed,
-    )
+    if rep:
+        hit_work, hit_work_r, hit_work_ws_lane, oa_work = jax.lax.cond(
+            work_pred,
+            work_side_rep,
+            lambda _: (
+                jnp.zeros((n,), bool),
+                jnp.zeros((R,), bool),
+                jnp.zeros((n,), bool),
+                jnp.zeros((n_oa_out,), jnp.int32),
+            ),
+            contrib_ws_bits,
+        )
+    else:
+        hit_work, oa_work = jax.lax.cond(
+            work_pred,
+            work_side,
+            lambda fwd: (
+                jnp.zeros((n,), bool),
+                jnp.zeros((n_oa_out,), jnp.int32),
+            ),
+            fwd_packed,
+        )
 
     # 8. bus side (rider-compacted; simulator.rs:360-401).  One packed key
     #    sort on the static rider-compaction rank moves (on_bus, infected,
@@ -374,6 +555,12 @@ def fast_step(
     #    (ops/segments.py::bus_hits): bits ride the shuffle sort, per-bus
     #    counts are run totals, and only the few successful hits scatter
     #    back.
+    def p_fn(compliant, on_bus_lane):
+        return _exposure_p(
+            d.exposure_chance, d.mask_effectiveness, state.mask_status,
+            compliant, on_bus_lane, cfg.reference_mask_semantics,
+        )
+
     def bus_branch(packed):
         rp = world.rider_perm
         if world.rpos is not None and world.rpos.shape[0] == n:
@@ -381,30 +568,80 @@ def fast_step(
         else:
             pk = jnp.take(packed, rp)
 
-        def p_fn(compliant, on_bus_lane):
-            return _exposure_p(
-                d.exposure_chance, d.mask_effectiveness, state.mask_status,
-                compliant, on_bus_lane, cfg.reference_mask_semantics,
-            )
-
         return bus_hits(
             k_bus, k_b,
             (pk & 1) != 0, (pk & 2) != 0, (pk & 4) != 0,
             world.rider_mask_compliant,
             world.rider_route, rp, cfg.bus_capacity, p_fn, n,
-        )
+        )[0]
 
     bus_pred = (
         bus_pred_default if gate_overrides is None else gate_overrides[1]
     )
-    hit_bus = jax.lax.cond(
-        bus_pred, bus_branch, lambda _: jnp.zeros((n,), bool), packed_bus
-    )
+    if rep:
+        # Rider-order bits come straight off the rider twin — the N-sized
+        # rider-compaction sort disappears from bus hours entirely.
+        k_top = min(16384, R)
+
+        def bus_branch_rep(packed_r):
+            return bus_hits(
+                k_bus, k_b,
+                (packed_r & 1) != 0, (packed_r & 2) != 0, (packed_r & 4) != 0,
+                world.rider_mask_compliant,
+                world.rider_route, world.rider_perm, cfg.bus_capacity,
+                p_fn, n,
+            )
+
+        packed_r = (
+            on_bus_r1.astype(jnp.int8)
+            | ((status_r1 == STATUS_INFECTED).astype(jnp.int8) << 1)
+            | ((status_r1 == STATUS_SUSCEPTIBLE).astype(jnp.int8) << 2)
+        )
+        hit_bus, hit_bus_r, bus_rider_ids, bus_live, n_bus_hits = jax.lax.cond(
+            bus_pred,
+            bus_branch_rep,
+            lambda _: (
+                jnp.zeros((n,), bool),
+                jnp.zeros((R,), bool),
+                jnp.zeros((k_top,), jnp.int32),
+                jnp.zeros((k_top,), bool),
+                jnp.int32(0),
+            ),
+            packed_r,
+        )
+        # bus hits into work order: via the compacted rider slots, dense
+        # permutation fallback on overflow
+        from ..ops.sparse import scatter_bits as _scatter_bits
+
+        cit_ids_b = jnp.take(
+            world.rider_perm, jnp.minimum(bus_rider_ids, max(R - 1, 0)),
+            mode="clip",
+        )
+        sp_ws_b = _scatter_bits(n, jnp.take(world.wpos, cit_ids_b), bus_live)
+        hit_bus_ws = jax.lax.cond(
+            n_bus_hits > k_top,
+            lambda lane: permute_by_sort(
+                world.wpos, lane.astype(jnp.int8), bits=1
+            ).astype(bool),
+            lambda _: sp_ws_b,
+            hit_bus,
+        )
+    else:
+        hit_bus = jax.lax.cond(
+            bus_pred, bus_branch, lambda _: jnp.zeros((n,), bool), packed_bus
+        )
 
     # 9. combine + bookkeeping (statistics.rs:181-195, 275-287)
     newly_exposed = hit_home | hit_work | hit_bus
     status = jnp.where(newly_exposed, jnp.int8(STATUS_EXPOSED), status)
     timer = jnp.where(newly_exposed, 0, timer)
+    if rep:
+        newly_ws = hh_ws | hit_work_ws_lane | hit_bus_ws
+        status_ws1 = jnp.where(newly_ws, jnp.int8(STATUS_EXPOSED), status_ws1)
+        timer_ws1 = jnp.where(newly_ws, 0, timer_ws1)
+        newly_r = hh_r | hit_work_r | hit_bus_r
+        status_r1 = jnp.where(newly_r, jnp.int8(STATUS_EXPOSED), status_r1)
+        timer_r1 = jnp.where(newly_r, 0, timer_r1)
     from_bus = hit_bus & ~hit_home & ~hit_work
     if cfg.faithful_vaccine_bugs:
         eligible = state.eligible & ~from_bus
@@ -459,7 +696,7 @@ def fast_step(
     # 11. vaccination: exact-k uniform selection by score threshold
     #     (simulator.rs:524-553; pool quirks per SimConfig.faithful_vaccine_bugs)
     def vaccinate(args):
-        status, eligible = args
+        status, eligible = args[0], args[1]
         from ..ops.hashrng import hash_bits
 
         scores = hash_bits(
@@ -481,20 +718,64 @@ def fast_step(
         else:
             at_rank = jnp.cumsum(at.astype(jnp.int32))
         chosen = below | (at & (at_rank <= allowed))
-        new_status = jnp.where(chosen, jnp.int8(STATUS_VACCINATED), status)
+
+        def apply(chosen_lane, status_lane):
+            new = jnp.where(
+                chosen_lane, jnp.int8(STATUS_VACCINATED), status_lane
+            )
+            if not cfg.faithful_vaccine_bugs:
+                new = jnp.where(
+                    chosen_lane & (status_lane != STATUS_SUSCEPTIBLE),
+                    status_lane, new,
+                )
+            return new
+
+        new_status = apply(chosen, status)
         if not cfg.faithful_vaccine_bugs:
             eligible = eligible & ~chosen
-            new_status = jnp.where(
-                chosen & (status != STATUS_SUSCEPTIBLE), status, new_status
-            )
-        return new_status, eligible, jnp.sum(chosen.astype(jnp.int32))
+        if not rep:
+            return new_status, eligible, jnp.sum(chosen.astype(jnp.int32))
 
-    status, eligible, n_vax = jax.lax.cond(
-        vaccination_started,
-        vaccinate,
-        lambda args: (args[0], args[1], jnp.int32(0)),
-        (status, eligible),
-    )
+        from ..ops.sparse import compact_from_ranks, mask_ranks, scatter_bits
+
+        rank, cnt = mask_ranks(chosen, use_pallas=use_pallas)
+        pos, live = compact_from_ranks(rank, cnt, KS)
+        safe = jnp.minimum(pos, n - 1)
+        sp_ws = scatter_bits(n, jnp.take(world.wpos, safe), live)
+        sp_r = scatter_bits(R, jnp.take(world.rpos, safe), live)
+
+        def dense(x):
+            ws = permute_by_sort(
+                world.wpos, x.astype(jnp.int8), bits=1
+            ).astype(bool)
+            return ws, jnp.take(x, world.rider_perm)
+
+        chosen_ws, chosen_r = jax.lax.cond(
+            cnt > KS, dense, lambda x: (sp_ws, sp_r), chosen
+        )
+        st_ws = apply(chosen_ws, args[2])
+        st_r = apply(chosen_r, args[3])
+        return (
+            new_status, eligible, st_ws, st_r,
+            jnp.sum(chosen.astype(jnp.int32)),
+        )
+
+    if rep:
+        status, eligible, status_ws1, status_r1, n_vax = jax.lax.cond(
+            vaccination_started,
+            vaccinate,
+            lambda args: (
+                args[0], args[1], args[2], args[3], jnp.int32(0),
+            ),
+            (status, eligible, status_ws1, status_r1),
+        )
+    else:
+        status, eligible, n_vax = jax.lax.cond(
+            vaccination_started,
+            vaccinate,
+            lambda args: (args[0], args[1], jnp.int32(0)),
+            (status, eligible),
+        )
 
     new_state = SimState(
         status=status,
@@ -505,6 +786,11 @@ def fast_step(
         eligible=eligible,
         at_work_ws=at_work_ws,
         on_bus_ws=on_bus_ws,
+        status_ws=status_ws1 if rep else state.status_ws,
+        timer_ws=timer_ws1.astype(jnp.int16) if rep else state.timer_ws,
+        status_r=status_r1 if rep else state.status_r,
+        timer_r=timer_r1.astype(jnp.int16) if rep else state.timer_r,
+        on_bus_r=on_bus_r1 if rep else state.on_bus_r,
         hour=hour,
         lockdown=lockdown,
         vaccination_started=vaccination_started,

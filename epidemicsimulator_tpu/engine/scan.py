@@ -53,17 +53,26 @@ def make_chunk_runner(world: World, cfg: SimConfig):
         def chunk(world, params: Params, state: SimState):
             # Prebuild the fused-kernel static lanes once per chunk so the
             # pad/reshape passes are loop-invariant (not per step).
-            from .fastpath import wants_fused_citizen
+            from .fastpath import (
+                make_rider_statics,
+                wants_fused_citizen,
+                wants_replicated,
+            )
 
             fused_statics = None
             if wants_fused_citizen(world, cfg):
                 from ..ops.pallas_citizen import make_citizen_statics
 
                 fused_statics = make_citizen_statics(world)
+            rider_statics = None
+            if wants_replicated(world, cfg, state):
+                rider_statics = make_rider_statics(world)
 
             def body(carry, _):
                 new_state, out = step(
-                    world, params, cfg, carry, fused_statics=fused_statics
+                    world, params, cfg, carry,
+                    fused_statics=fused_statics,
+                    rider_statics=rider_statics,
                 )
                 return new_state, out
 

@@ -50,6 +50,33 @@ class SimState:
     at_work_ws: Any = None
     on_bus_ws: Any = None
 
+    # replicated-order twins (SimConfig.use_replicated_orders): disease
+    # state maintained in work order and rider order so the hot loop never
+    # permutes lanes — cross-order deltas arrive as sparse scatters.
+    # Shapes (N,)/(N,) and (R,)/(R,)/(R,); (0,) when the mode is off.
+    status_ws: Any = None
+    timer_ws: Any = None
+    status_r: Any = None
+    timer_r: Any = None
+    on_bus_r: Any = None
+
+
+def with_status(state: SimState, world: World, status) -> SimState:
+    """Replace the status lane, keeping the replicated-order twins in sync.
+
+    Use this instead of ``dataclasses.replace(state, status=...)`` whenever
+    the world carries fast tables — the replicated fast path
+    (SimConfig.use_replicated_orders) reads work-/rider-order copies that
+    must describe the same citizens.
+    """
+    status = jnp.asarray(status, jnp.int8)
+    kwargs = dict(status=status)
+    if state.status_ws is not None and state.status_ws.shape[0]:
+        kwargs["status_ws"] = jnp.take(status, jnp.asarray(world.work_perm))
+    if state.status_r is not None and state.status_r.shape[0]:
+        kwargs["status_r"] = jnp.take(status, jnp.asarray(world.rider_perm))
+    return dataclasses.replace(state, **kwargs)
+
 
 def init_state(
     world: World,
@@ -89,7 +116,17 @@ def init_state(
             if len(members):
                 status[rng.choice(members)] = STATUS_INFECTED
 
-    n_ws = n if getattr(world, "has_fast_tables", False) else 0
+    has_fast = getattr(world, "has_fast_tables", False)
+    n_ws = n if has_fast else 0
+    if has_fast:
+        status_ws = status[np.asarray(world.work_perm)]
+        rp = np.asarray(world.rider_perm)
+        status_r = status[rp]
+        n_r = rp.shape[0]
+    else:
+        status_ws = np.zeros(0, np.int8)
+        status_r = np.zeros(0, np.int8)
+        n_r = 0
     return SimState(
         status=jnp.asarray(status),
         timer=jnp.zeros(n, jnp.int16),
@@ -99,6 +136,11 @@ def init_state(
         eligible=jnp.zeros(n, jnp.bool_),
         at_work_ws=jnp.zeros(n_ws, jnp.bool_),
         on_bus_ws=jnp.zeros(n_ws, jnp.bool_),
+        status_ws=jnp.asarray(status_ws),
+        timer_ws=jnp.zeros(n_ws, jnp.int16),
+        status_r=jnp.asarray(status_r),
+        timer_r=jnp.zeros(n_r, jnp.int16),
+        on_bus_r=jnp.zeros(n_r, jnp.bool_),
         hour=jnp.asarray(0, jnp.int32),
         lockdown=jnp.asarray(False),
         vaccination_started=jnp.asarray(False),

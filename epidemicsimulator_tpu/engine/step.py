@@ -57,6 +57,7 @@ def step(
     axis_name: str | None = None,
     gate_overrides=None,
     fused_statics=None,
+    rider_statics=None,
 ):
     """Advance one hour.  Returns (new_state, StepOutput).
 
@@ -77,6 +78,7 @@ def step(
         return fast_step(
             world, params, cfg, state,
             gate_overrides=gate_overrides, fused_statics=fused_statics,
+            rider_statics=rider_statics,
         )
     d = params.disease
     th = params.thresholds
@@ -423,6 +425,15 @@ def step(
         eligible=eligible,
         at_work_ws=state.at_work_ws,
         on_bus_ws=state.on_bus_ws,
+        # replicated-order twins are not evolved by the portable step —
+        # carried through untouched for pytree stability (they are only
+        # read by the replicated fast path, which never mixes with this
+        # formulation within a run)
+        status_ws=state.status_ws,
+        timer_ws=state.timer_ws,
+        status_r=state.status_r,
+        timer_r=state.timer_r,
+        on_bus_r=state.on_bus_r,
         hour=hour,
         lockdown=lockdown,
         vaccination_started=vaccination_started,

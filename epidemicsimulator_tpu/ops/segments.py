@@ -114,7 +114,14 @@ def bus_hits(
     n_citizens: int,
     max_hits: int = 16384,
 ):
-    """Gather-free bus exposure: returns the (n_citizens,) bool hit lane.
+    """Gather-free bus exposure.
+
+    Returns ``(cit_lane, rider_lane, rider_ids, live, n_hits)``: the
+    (n_citizens,) bool hit lane, the (R,) rider-order hit lane, the
+    compacted rider-order hit slots (max_hits,) with their live mask, and
+    the exact hit count (compaction is exact only while
+    ``n_hits <= max_hits`` — both lanes fall back to dense scatters past
+    that).
 
     Same semantics as :func:`bus_infection_counts` + the per-rider draw
     (simulator.rs:360-401): shuffle each route's riders, chunk into
@@ -139,7 +146,13 @@ def bus_hits(
 
     r = rb_on.shape[0]
     if r == 0:
-        return jnp.zeros((n_citizens,), bool)
+        return (
+            jnp.zeros((n_citizens,), bool),
+            jnp.zeros((0,), bool),
+            jnp.zeros((0,), jnp.int32),
+            jnp.zeros((0,), bool),
+            jnp.int32(0),
+        )
     rk = jnp.where(rb_on, rider_route, _INT32_MAX)
     tie = jax.random.bits(key_shuffle, (r,), dtype=jnp.uint32).astype(jnp.int32)
     idx = jnp.arange(r, dtype=jnp.uint32)
@@ -195,6 +208,27 @@ def bus_hits(
         )
 
     n_hits = jnp.sum(hit.astype(jnp.int32))
-    return jax.lax.cond(
+    cit_lane = jax.lax.cond(
         n_hits > k_top, dense, lambda _: sparse, None
     )
+    # Rider-order hit lane for the replicated-order engine: the compact
+    # payload indices ARE rider-order slots; the dense branch scatters the
+    # sorted lane back through the shuffle payload.
+    def rider_dense(_):
+        return (
+            jnp.zeros((r,), bool)
+            .at[jnp.where(hit, jnp.asarray(pay_s >> 3, jnp.int32), r)]
+            .set(True, mode="drop")
+        )
+
+    rider_lane = jax.lax.cond(
+        n_hits > k_top,
+        rider_dense,
+        lambda _: (
+            jnp.zeros((r,), bool)
+            .at[jnp.where(live, rider_ids, r)]
+            .set(True, mode="drop")
+        ),
+        None,
+    )
+    return cit_lane, rider_lane, rider_ids, live, n_hits

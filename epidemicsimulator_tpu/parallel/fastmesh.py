@@ -216,7 +216,7 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
         jnp.take(susc_ext, rl) != 0,
         sq(sw.rider_compliant),
         sq(sw.rider_route), rl, cfg.bus_capacity, p_fn, S,
-    )
+    )[0]
 
     # 9. combine + bookkeeping
     newly_exposed = hit_home | hit_work | hit_bus
@@ -325,6 +325,11 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
         eligible=eligible,
         at_work_ws=state.at_work_ws,
         on_bus_ws=state.on_bus_ws,
+        status_ws=state.status_ws,
+        timer_ws=state.timer_ws,
+        status_r=state.status_r,
+        timer_r=state.timer_r,
+        on_bus_r=state.on_bus_r,
         hour=hour,
         lockdown=lockdown,
         vaccination_started=vaccination_started,
@@ -361,6 +366,12 @@ def init_sharded_state(world, sw: ShardedWorld, *, seed=0, starting_infected=10)
         **{k: jnp.asarray(v).reshape(-1) for k, v in lanes.items()},
         at_work_ws=jnp.zeros((0,), bool),
         on_bus_ws=jnp.zeros((0,), bool),
+        # replicated-order twins don't exist in the sharded formulation
+        status_ws=jnp.zeros((0,), jnp.int8),
+        timer_ws=jnp.zeros((0,), jnp.int16),
+        status_r=jnp.zeros((0,), jnp.int8),
+        timer_r=jnp.zeros((0,), jnp.int16),
+        on_bus_r=jnp.zeros((0,), bool),
     )
 
 

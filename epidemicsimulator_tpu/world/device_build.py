@@ -294,14 +294,23 @@ def _tables_kernel(
     ), (max_hh, oa_contig)
 
 
-def build_tables_device(core: World) -> World:
+def build_tables_device(core: World, *, n_riders: int | None = None) -> World:
     """Device-side equivalent of ``make_world`` canonicalisation +
     ``build_index_tables`` + ``build_fast_tables`` for a ``World`` carrying
     only core lanes.  Returns a fully-tabled ``World`` of device arrays,
     bit-identical to the numpy pipeline for the same inputs.
+
+    ``n_riders`` (static) can be passed by callers that already know it —
+    an eager device reduction + host fetch here costs seconds to minutes
+    of tunnel sync variance (see the D2H note in _synthetic_core_kernel).
     """
     lanes = {name: jnp.asarray(getattr(core, name)) for name in World.CORE_LANES}
-    n_riders = int(jnp.sum(lanes["uses_transport"].astype(jnp.int32)))
+    if n_riders is None:
+        ut = getattr(core, "uses_transport")
+        if isinstance(ut, np.ndarray):
+            n_riders = int(np.sum(ut.astype(np.int32)))
+        else:
+            n_riders = int(jnp.sum(lanes["uses_transport"].astype(jnp.int32)))
     out, (max_hh, oa_contig) = _tables_kernel(
         lanes,
         n_buildings=int(core.n_buildings),
@@ -356,8 +365,12 @@ def _synthetic_core_kernel(
     age = (hash_bits(subkey(0), idx) % jnp.uint32(90)).astype(jnp.int16)
     is_student = age < MAX_STUDENT_AGE
 
-    cumw = jnp.asarray(
-        np.cumsum(_OCCUPATION_WEIGHTS / _OCCUPATION_WEIGHTS.sum()), jnp.float32
+    # NB: keep trace-time lookup tables as *numpy* — an eager jnp.asarray
+    # here becomes a device-resident closure constant, and MLIR lowering
+    # fetches its value D2H; through the axon tunnel that single fetch
+    # measured ~430s (!) even for a 9-element table.
+    cumw = np.cumsum(_OCCUPATION_WEIGHTS / _OCCUPATION_WEIGHTS.sum()).astype(
+        np.float32
     )
     occ = jnp.searchsorted(
         cumw, hash_uniform(subkey(1), idx), side="right"
@@ -401,7 +414,8 @@ def _synthetic_core_kernel(
     b_start = _start_mask(bucket_sorted)
     pos = _cumcount(b_start)
     caps = jnp.take(
-        jnp.asarray(_WORKPLACE_CAPACITY), jnp.clip(occ[w_perm], 0, 8).astype(jnp.int32)
+        np.asarray(_WORKPLACE_CAPACITY),
+        jnp.clip(occ[w_perm], 0, 8).astype(jnp.int32),
     )
     slot = pos // caps
     wp_start = (b_start | _start_mask(slot)) & worker_sorted
@@ -585,11 +599,24 @@ def generate_synthetic_world_device(
     bitwise-equal, to the numpy generator).  At Y&H scale this replaces
     ~30-120s of host numpy + ~41s of tunnel upload with ~1s of device time.
     """
+    import os
+    import time
+
     n = int(n_citizens)
     n_oa = int(n_output_areas)
     if n <= 0:
         raise ValueError("n_citizens must be positive")
     n_schools = max(1, (n_oa + oas_per_school - 1) // oas_per_school)
+
+    timing = os.environ.get("ESUCD_TIMING", "") == "1"
+    t0 = time.perf_counter()
+
+    def tick(label):
+        nonlocal t0
+        if timing:
+            now = time.perf_counter()
+            print(f"  [world-build] {label}: {now - t0:.1f}s", flush=True)
+            t0 = now
 
     lanes, scalars = _synthetic_core_kernel(
         seed,
@@ -600,9 +627,11 @@ def generate_synthetic_world_device(
         commute_spread=float(commute_spread),
         mask_percentage=float(mask_percentage),
     )
-    (n_households, n_workplaces, n_classes, n_rooms, n_staffed, _r) = (
+    tick("stage1 dispatch")
+    (n_households, n_workplaces, n_classes, n_rooms, n_staffed, n_riders) = (
         int(x) for x in np.asarray(scalars)
     )
+    tick("stage1 sync")
     if n_staffed < n_classes:
         raise ValueError(
             f"synthetic world cannot staff {n_classes} classes with "
@@ -616,4 +645,6 @@ def generate_synthetic_world_device(
         n_output_areas=n_oa,
         **{name: lanes[name] for name in World.CORE_LANES},
     )
-    return build_tables_device(core)
+    out = build_tables_device(core, n_riders=n_riders)
+    tick("stage2 dispatch+sync")
+    return out

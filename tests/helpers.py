@@ -110,12 +110,30 @@ def jit_step(world, params, cfg, state):
 
 
 def state_with_status(world, status, **overrides):
-    """An init_state with a forced status lane."""
+    """An init_state with a forced status lane.  Citizen-order overrides of
+    replicated lanes (status/timer/at_work/on_bus) are mirrored into their
+    work-/rider-order twins so the replicated fast path stays consistent."""
     import jax.numpy as jnp
 
-    from epidemicsimulator_tpu.engine.state import init_state
+    from epidemicsimulator_tpu.engine.state import init_state, with_status
 
     st = init_state(world, seed=0, starting_infected=0)
-    return dataclasses.replace(
-        st, status=jnp.asarray(np.asarray(status, np.int8)), **overrides
-    )
+    st = with_status(st, world, np.asarray(status, np.int8))
+    if overrides:
+        st = dataclasses.replace(st, **{
+            k: jnp.asarray(v) for k, v in overrides.items()
+        })
+        wp = jnp.asarray(world.work_perm)
+        rp = jnp.asarray(world.rider_perm)
+        twins = {}
+        if "timer" in overrides and st.timer_ws is not None:
+            twins["timer_ws"] = jnp.take(st.timer, wp)
+            twins["timer_r"] = jnp.take(st.timer, rp)
+        if "at_work" in overrides and st.at_work_ws is not None:
+            twins["at_work_ws"] = jnp.take(jnp.asarray(st.at_work), wp)
+        if "on_bus" in overrides and st.on_bus_ws is not None:
+            twins["on_bus_ws"] = jnp.take(jnp.asarray(st.on_bus), wp)
+            twins["on_bus_r"] = jnp.take(jnp.asarray(st.on_bus), rp)
+        if twins:
+            st = dataclasses.replace(st, **twins)
+    return st

@@ -130,7 +130,7 @@ def test_bus_hits_matches_infection_counts_distribution():
                 jnp.asarray(np.ones(r, bool)),
                 jnp.asarray(route), jnp.asarray(cit_id),
                 20, p_fn, n_cit,
-            )
+            )[0]
         )
         hits += out
     # riders who are susceptible & riding should be hit at a plausible rate;
@@ -164,6 +164,8 @@ def test_bus_hits_dense_fallback_agrees():
     args = (k1, k2, jnp.asarray(np.ones(r, bool)), jnp.asarray(inf),
             jnp.asarray(susc), jnp.asarray(np.ones(r, bool)),
             jnp.asarray(route), jnp.asarray(cit_id), 20, p_fn, n_cit)
-    dense = np.asarray(bus_hits(*args, max_hits=8))     # overflow -> dense
-    sparse = np.asarray(bus_hits(*args, max_hits=4096))  # sparse path
-    np.testing.assert_array_equal(dense, sparse)
+    dense = bus_hits(*args, max_hits=8)      # overflow -> dense
+    sparse = bus_hits(*args, max_hits=4096)  # sparse path
+    np.testing.assert_array_equal(np.asarray(dense[0]), np.asarray(sparse[0]))
+    # the rider-order lanes must agree across paths too
+    np.testing.assert_array_equal(np.asarray(dense[1]), np.asarray(sparse[1]))

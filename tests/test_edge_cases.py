@@ -67,7 +67,8 @@ def test_everyone_infected_burns_out():
     st = init_state(w, seed=0, starting_infected=0)
     import jax.numpy as jnp
 
-    st = dataclasses.replace(st, status=jnp.full(w.n_citizens, 2, jnp.int8))
+    from epidemicsimulator_tpu.engine.state import with_status
+    st = with_status(st, w, jnp.full(w.n_citizens, 2, jnp.int8))
     _, out = run(w.device_put(), params, cfg, st)
     # everyone recovers within infected_time+1 and the run early-exits once
     # S==0 and E==0 and I==0 (statistics.rs:289-291 semantics)

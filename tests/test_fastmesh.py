@@ -48,7 +48,8 @@ def _single_device_reference(world, status0, steps, transport):
         bus_capacity=1_000_000 if transport else 20,
     )
     st = init_state(world, seed=0, starting_infected=0)
-    st = dataclasses.replace(st, status=jnp.asarray(status0))
+    from epidemicsimulator_tpu.engine.state import with_status
+    st = with_status(st, world, status0)
     wd = world.device_put()
     params = _det_params()
     jstep = jax.jit(lambda w, p, s: step(w, p, cfg, s))

@@ -77,7 +77,8 @@ def test_fast_and_portable_steps_agree_deterministically(steps, transport):
         st = init_state(world, seed=0, starting_infected=0)
         status0 = np.zeros(world.n_citizens, np.int8)
         status0[::307] = STATUS_INFECTED
-        st = dataclasses.replace(st, status=jnp.asarray(status0))
+        from epidemicsimulator_tpu.engine.state import with_status
+        st = with_status(st, world, status0)
         wd = world.device_put()
         jstep = jax.jit(lambda w, p, s: step(w, p, cfg, s))
         rows = []
@@ -116,7 +117,8 @@ def test_rider_extract_sort_matches_gather():
         st = init_state(w, seed=0, starting_infected=0)
         status0 = np.zeros(w.n_citizens, np.int8)
         status0[::17] = STATUS_INFECTED  # plenty of bus-borne infection
-        st = dataclasses.replace(st, status=jnp.asarray(status0))
+        from epidemicsimulator_tpu.engine.state import with_status
+        st = with_status(st, w, status0)
         wd = w.device_put()
         jstep = jax.jit(lambda w_, p, s: step(w_, p, cfg, s))
         rows = []

@@ -56,7 +56,8 @@ def test_fused_matches_unfused_deterministically(transport):
         st = init_state(world, seed=0, starting_infected=0)
         status0 = np.zeros(world.n_citizens, np.int8)
         status0[::307] = STATUS_INFECTED
-        st = dataclasses.replace(st, status=jnp.asarray(status0))
+        from epidemicsimulator_tpu.engine.state import with_status
+        st = with_status(st, world, status0)
         wd = world.device_put()
         jstep = jax.jit(lambda w, p, s: step(w, p, cfg, s))
         rows = []

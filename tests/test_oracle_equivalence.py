@@ -60,7 +60,8 @@ def _engine_runs(world, params, status0, n_seeds):
     finals, peaks = [], []
     for s in range(n_seeds):
         st = init_state(wd, seed=1000 + s, starting_infected=0)
-        st = dataclasses.replace(st, status=jax.numpy.asarray(status0))
+        from epidemicsimulator_tpu.engine.state import with_status
+        st = with_status(st, wd, status0)
         _, out = run(wd, params, cfg, st)
         seirv = np.asarray(out.seirv)
         finals.append(1.0 - seirv[-1, 0] / world.n_citizens)
