@@ -54,6 +54,73 @@ from .schema import World
 
 _I32_MAX = jnp.int32(2**31 - 1)
 
+
+# ---------------------------------------------------------------------------
+# StableHLO export cache: skip per-process trace + MLIR lowering
+# ---------------------------------------------------------------------------
+# Lowering the synthetic kernel's jaxpr to MLIR costs ~18s of host Python at
+# Y&H scale, every process (the XLA *compile* cache only kicks in after).
+# jax.export lets us serialize the lowered module once and replay it; the
+# cache key hashes this module's + hashrng's source so edits invalidate it.
+
+def _export_cache_key(name: str, statics: tuple) -> str:
+    import hashlib
+    import os.path as osp
+
+    h = hashlib.sha256()
+    h.update(jax.__version__.encode())
+    # exports lower for one platform; a CPU-exported module cannot replay
+    # on the TPU backend
+    h.update(jax.default_backend().encode())
+    for mod in (__file__, osp.join(osp.dirname(osp.dirname(__file__)),
+                                   "ops", "hashrng.py")):
+        try:
+            with open(mod, "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(b"?")
+    h.update(repr(statics).encode())
+    return f"{name}-{h.hexdigest()[:32]}"
+
+
+def _call_exported_cached(name: str, statics: tuple, make_jitted, args):
+    """Call ``make_jitted()`` (a 0-arg fn returning a jitted callable) on
+    ``args``, replaying a serialized StableHLO module when one exists for
+    (source hash, statics, arg shapes/dtypes).  Falls back to a plain call
+    on any export machinery failure."""
+    import os
+
+    if os.environ.get("ESUCD_NO_EXPORT_CACHE", "") == "1":
+        return make_jitted()(*args)
+    from jax import export as jax_export
+
+    shapes = tuple(
+        (jnp.shape(a), jnp.result_type(a).name) for a in args
+    )
+    key = _export_cache_key(name, statics + shapes)
+    cache_dir = os.path.join(
+        os.path.expanduser("~"), ".cache", "epidemicsimulator_tpu", "export"
+    )
+    path = os.path.join(cache_dir, key + ".bin")
+    try:
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                exp = jax_export.deserialize(bytearray(f.read()))
+            return exp.call(*args)
+        jitted = make_jitted()
+        exp = jax_export.export(jitted)(
+            *(jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a))
+              for a in args)
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(exp.serialize())
+        os.replace(tmp, path)
+        return exp.call(*args)
+    except Exception:  # pragma: no cover - any export quirk → plain path
+        return make_jitted()(*args)
+
 _OCCUPATION_WEIGHTS = np.array(
     [0.11, 0.20, 0.13, 0.11, 0.11, 0.09, 0.08, 0.07, 0.05], np.float64
 )
@@ -618,14 +685,30 @@ def generate_synthetic_world_device(
             print(f"  [world-build] {label}: {now - t0:.1f}s", flush=True)
             t0 = now
 
-    lanes, scalars = _synthetic_core_kernel(
-        seed,
-        n=n,
-        n_oa=n_oa,
-        n_schools=n_schools,
-        oas_per_school=int(oas_per_school),
-        commute_spread=float(commute_spread),
-        mask_percentage=float(mask_percentage),
+    def make_jitted():
+        def wrapper(seed_, oas_per_school_, commute_spread_, mask_pct_):
+            return _synthetic_core_kernel(
+                seed_,
+                n=n,
+                n_oa=n_oa,
+                n_schools=n_schools,
+                oas_per_school=oas_per_school_,
+                commute_spread=commute_spread_,
+                mask_percentage=mask_pct_,
+            )
+
+        return jax.jit(wrapper)
+
+    lanes, scalars = _call_exported_cached(
+        "synthetic_core",
+        (n, n_oa, n_schools),
+        make_jitted,
+        (
+            np.int32(seed),
+            np.int32(oas_per_school),
+            np.float32(commute_spread),
+            np.float32(mask_percentage),
+        ),
     )
     tick("stage1 dispatch")
     (n_households, n_workplaces, n_classes, n_rooms, n_staffed, n_riders) = (

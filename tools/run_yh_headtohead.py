@@ -33,6 +33,16 @@ def main():
     )
     from epidemicsimulator_tpu.engine.simulator import Simulator
 
+    # The axon tunnel stalls once per process on the first device
+    # round-trip — 37-1300s measured for an 8-element arange (docs/PERF.md).
+    # Time it separately so the framework numbers are not hostage to it;
+    # total_s still includes everything.
+    t0 = time.perf_counter()
+    _ = int(__import__("jax.numpy", fromlist=["jnp"]).arange(8).sum())
+    t_attach = time.perf_counter() - t0
+    print(f"tunnel attach (first device roundtrip): {t_attach:.1f}s",
+          flush=True)
+
     t0 = time.perf_counter()
     # World generation runs ON the TPU (world/device_build.py): ~8s warm at
     # this scale vs ~30-120s host numpy + ~41s of tunnel upload.
@@ -87,10 +97,12 @@ def main():
         print("plot skipped:", e)
 
     summary = {
+        "tunnel_attach_s": round(t_attach, 1),
         "world_build_s": round(t_build, 1),
         "sim_init_s": round(t_init, 1),
         "simulate_s": round(t_sim, 1),
         "total_s": round(total, 1),
+        "total_with_attach_s": round(total + t_attach, 1),
         "steps": int(len(seirv)),
         "reference_total_s": 4378,
         "speedup": round(4378 / total, 1),
