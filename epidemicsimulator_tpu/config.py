@@ -252,10 +252,11 @@ class SimConfig:
     #: and move only the per-step deltas (new exposures / vaccinations /
     #: work hits) between them via K-bounded sparse transports — this
     #: removes the three N-sized permutation sorts from the hot loop
-    #: (docs/PERF.md).  None = auto (on when the fast path runs outside
-    #: vmap-hostile contexts; the ensemble runner forces False because
-    #: lax.cond flattens to both-branches inside vmap).  Trajectories are
-    #: bitwise-identical to the classic fast path.
+    #: (docs/PERF.md).  None = auto: on for populations <= 8M (4.09 -> 4.06
+    #: ms/step at Y&H scale) and off beyond (the every-step twin upkeep
+    #: measured 29 -> 55 ms/step at 63M); the ensemble runner forces False
+    #: because lax.cond flattens to both-branches inside vmap.
+    #: Trajectories are bitwise-identical to the classic fast path.
     use_replicated_orders: bool | None = None
     #: Slot count K for the sparse cross-order transports; steps with more
     #: new exposures than this fall back to the dense permutation sort.

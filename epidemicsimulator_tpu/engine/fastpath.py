@@ -128,7 +128,12 @@ def wants_replicated(world: World, cfg: SimConfig, state: SimState) -> bool:
     present + enabled).  Chunk runners use this to prebuild rider statics."""
     rep = cfg.use_replicated_orders
     if rep is None:
-        rep = True
+        # Auto: a small win at region scale (4.09 -> 4.06 ms/step at 3.46M)
+        # but a clear loss at UK scale (29 -> 55 ms/step at 63M) — the
+        # every-step twin maintenance outweighs the hour-gated sorts it
+        # replaces once the population dwarfs the active-hour fraction
+        # (docs/PERF.md).
+        rep = world.n_citizens <= 8_000_000
     return (
         bool(rep)
         and cfg.use_fast_path
