@@ -261,6 +261,19 @@ class SimConfig:
     #: Slot count K for the sparse cross-order transports; steps with more
     #: new exposures than this fall back to the dense permutation sort.
     sparse_transport_slots: int = 2048
+    #: Slot bound for the sparse per-OA home-exposure recording path
+    #: (fastpath §9: compact hit positions + K-bounded scatter-add instead
+    #: of cumsum + boundary gathers).  None = auto: 8192 for populations
+    #: >= 16M (where the dense cumsum+gather extraction costs ~10 ms/step)
+    #: and off below (the K-sized machinery loses to the small dense path
+    #: at region scale — docs/PERF.md).  0 disables.
+    oa_sparse_slots: int | None = None
+    #: Debug/probe only: (work, bus) lax.cond gate forcings for the fast
+    #: path — None leaves a gate on its computed predicate, True/False pins
+    #: it.  Forcing a gate False skips that exposure source (NOT
+    #: semantics-preserving); used by tools/probe_uk.py for subtractive
+    #: step-budget measurements.
+    debug_force_gates: tuple | None = None
     #: Static upper bound on vaccinations per step (sizes the on-device top-k
     #: selection; the traced DiseaseParams.vaccination_rate must not exceed
     #: it).

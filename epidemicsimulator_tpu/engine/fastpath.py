@@ -329,7 +329,7 @@ def fast_step(
     KS = cfg.sparse_transport_slots
     R = world.rider_perm.shape[0]
     if rep:
-        from ..ops.sparse import compact_from_ranks, mask_ranks, scatter_bits
+        from ..ops.sparse import compact_positions, scatter_bits
 
         status_ws1, timer_ws1 = _advance_disease(
             state.status_ws, jnp.asarray(state.timer_ws, jnp.int32), d
@@ -348,8 +348,7 @@ def fast_step(
         def _fan_out(mask):
             """Compact a citizen-order bit lane and scatter it into work
             order and rider order (dense permutation fallback past KS)."""
-            rank, cnt = mask_ranks(mask, use_pallas=use_pallas)
-            pos, live = compact_from_ranks(rank, cnt, KS)
+            pos, live, cnt = compact_positions(mask, KS)
             safe = jnp.minimum(pos, n - 1)
             ws_idx = jnp.take(world.wpos, safe)
             r_idx = jnp.take(world.rpos, safe)
@@ -496,7 +495,7 @@ def fast_step(
             0.0,
         )
         from ..ops.hashrng import hash_uniform
-        from ..ops.sparse import compact_from_ranks, mask_ranks, scatter_bits
+        from ..ops.sparse import compact_positions, scatter_bits
 
         seed_w = jax.random.bits(k_w, (), jnp.uint32)
         u_w = hash_uniform(seed_w, jnp.arange(n, dtype=jnp.uint32))
@@ -508,8 +507,7 @@ def fast_step(
             oa_work = jnp.zeros((0,), jnp.int32)
 
         # fan the ws-order hits out to citizen and rider order
-        rank, cnt = mask_ranks(hit_work_ws, use_pallas=use_pallas)
-        pos, live = compact_from_ranks(rank, cnt, KS)
+        pos, live, cnt = compact_positions(hit_work_ws, KS)
         cit_idx = jnp.take(world.work_perm, jnp.minimum(pos, n - 1))
         sp_cit = scatter_bits(n, cit_idx, live)
         sp_r = scatter_bits(R, jnp.take(world.rpos, cit_idx), live)
@@ -526,7 +524,9 @@ def fast_step(
         return hit_work, hit_work_r, hit_work_ws, oa_work
 
     work_pred = (
-        work_pred_default if gate_overrides is None else gate_overrides[0]
+        work_pred_default
+        if gate_overrides is None or gate_overrides[0] is None
+        else gate_overrides[0]
     )
     n_oa_out = world.oa_lo.shape[0] if record_oa else 0
     if rep:
@@ -581,7 +581,9 @@ def fast_step(
         )[0]
 
     bus_pred = (
-        bus_pred_default if gate_overrides is None else gate_overrides[1]
+        bus_pred_default
+        if gate_overrides is None or gate_overrides[1] is None
+        else gate_overrides[1]
     )
     if rep:
         # Rider-order bits come straight off the rider twin — the N-sized
@@ -656,7 +658,39 @@ def fast_step(
     n_new = jnp.sum(newly_exposed.astype(jnp.int32))
     n_bus_exp = jnp.sum(from_bus.astype(jnp.int32))
     if record_oa:
-        oa_home = _range_totals(hit_home, world.oa_lo, world.oa_hi)
+        # Sparse path: most hours expose far fewer citizens than K, so the
+        # per-OA home counts come from compacting the hit positions
+        # (ops/sparse.py::compact_positions — no N-sized cumsum) + a
+        # K-bounded scatter-add; the dense range-totals extraction
+        # (cumsum + 227k-sized gathers, ~10 ms/step at 63M) only runs on
+        # peak hours.  Identical counts either way (OA-major order).
+        n_oa_rec = world.oa_lo.shape[0]
+        K_OA = cfg.oa_sparse_slots
+        if K_OA is None:
+            K_OA = 8192 if n >= 16_000_000 else 0
+
+        def oa_sparse(hit):
+            from ..ops.sparse import compact_positions
+
+            pos, live, _ = compact_positions(hit, K_OA)
+            ids = jnp.take(
+                world.home_oa, jnp.minimum(pos, n - 1), mode="clip"
+            )
+            return (
+                jnp.zeros((n_oa_rec,), jnp.int32)
+                .at[jnp.where(live, ids, n_oa_rec)]
+                .add(1, mode="drop")
+            )
+
+        if K_OA > 0:
+            oa_home = jax.lax.cond(
+                jnp.sum(hit_home.astype(jnp.int32)) <= K_OA,
+                oa_sparse,
+                lambda hit: _range_totals(hit, world.oa_lo, world.oa_hi),
+                hit_home,
+            )
+        else:
+            oa_home = _range_totals(hit_home, world.oa_lo, world.oa_hi)
         exposures_per_oa = oa_home + oa_work
     elif cfg.record_exposures_per_oa:
         counted = hit_home | (hit_work & ~hit_home)
@@ -703,26 +737,37 @@ def fast_step(
     def vaccinate(args):
         status, eligible = args[0], args[1]
         from ..ops.hashrng import hash_bits
+        from ..ops.select import kth_threshold
 
-        scores = hash_bits(
-            jax.random.bits(k_vax, (), jnp.uint32),
-            jnp.arange(n, dtype=jnp.uint32),
+        seed_vax = jax.random.bits(k_vax, (), jnp.uint32)
+        scores = hash_bits(seed_vax, jnp.arange(n, dtype=jnp.uint32))
+        n_elig = jnp.sum(eligible.astype(jnp.int32))
+        k = jnp.minimum(jnp.asarray(d.vaccination_rate, jnp.int32), n_elig)
+        tau = kth_threshold(
+            seed_vax, eligible, k, n_elig, use_pallas=use_pallas
         )
-        k = jnp.minimum(
-            jnp.asarray(d.vaccination_rate, jnp.int32),
-            jnp.sum(eligible.astype(jnp.int32)),
-        )
-        tau = _kth_score_threshold(scores, eligible, k)
         below = eligible & (scores < tau)
         at = eligible & (scores == tau)
         allowed = k - jnp.sum(below.astype(jnp.int32))
-        if use_pallas:
-            from ..ops.pallas_scans import cumsum_pallas
 
-            at_rank = cumsum_pallas(at)
-        else:
-            at_rank = jnp.cumsum(at.astype(jnp.int32))
-        chosen = below | (at & (at_rank <= allowed))
+        def tiebreak(at_lane):
+            # multiple eligible scores equal tau (p ~ pool/2^32 per step):
+            # exact-k needs their cumulative ranks
+            if use_pallas:
+                from ..ops.pallas_scans import cumsum_pallas
+
+                at_rank = cumsum_pallas(at_lane)
+            else:
+                at_rank = jnp.cumsum(at_lane.astype(jnp.int32))
+            return at_lane & (at_rank <= allowed)
+
+        take_at = jax.lax.cond(
+            jnp.sum(at.astype(jnp.int32)) > allowed,
+            tiebreak,
+            lambda at_lane: at_lane,
+            at,
+        )
+        chosen = below | take_at
 
         def apply(chosen_lane, status_lane):
             new = jnp.where(
@@ -741,10 +786,9 @@ def fast_step(
         if not rep:
             return new_status, eligible, jnp.sum(chosen.astype(jnp.int32))
 
-        from ..ops.sparse import compact_from_ranks, mask_ranks, scatter_bits
+        from ..ops.sparse import compact_positions, scatter_bits
 
-        rank, cnt = mask_ranks(chosen, use_pallas=use_pallas)
-        pos, live = compact_from_ranks(rank, cnt, KS)
+        pos, live, cnt = compact_positions(chosen, KS)
         safe = jnp.minimum(pos, n - 1)
         sp_ws = scatter_bits(n, jnp.take(world.wpos, safe), live)
         sp_r = scatter_bits(R, jnp.take(world.rpos, safe), live)

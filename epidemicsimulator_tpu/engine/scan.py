@@ -68,11 +68,19 @@ def make_chunk_runner(world: World, cfg: SimConfig):
             if wants_replicated(world, cfg, state):
                 rider_statics = make_rider_statics(world)
 
+            gate_overrides = None
+            if cfg.debug_force_gates is not None:
+                gate_overrides = tuple(
+                    None if g is None else jnp.asarray(bool(g))
+                    for g in cfg.debug_force_gates
+                )
+
             def body(carry, _):
                 new_state, out = step(
                     world, params, cfg, carry,
                     fused_statics=fused_statics,
                     rider_statics=rider_statics,
+                    gate_overrides=gate_overrides,
                 )
                 return new_state, out
 

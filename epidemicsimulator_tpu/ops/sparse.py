@@ -54,3 +54,53 @@ def scatter_bits(n_out: int, dest_idx, live):
         .at[jnp.where(live, dest_idx, n_out)]
         .set(True, mode="drop")
     )
+
+
+def compact_positions(mask, k_slots: int, *, block: int = 1024):
+    """Positions of the first ``k_slots`` set bits of ``mask`` — WITHOUT an
+    N-sized cumsum.
+
+    The rank machinery above pays one full-lane cumsum (~4.8 ms at 63M on
+    this chip, docs/PERF.md) plus a searchsorted over the N-lane.  This
+    form is hierarchical and pure XLA:
+
+      1. per-block counts via one reshape-reduce (bandwidth pass),
+      2. tiny cross-block prefix,
+      3. per-slot block via searchsorted over the (N/block,) prefix,
+      4. row-gather of the K owning blocks, local per-row cumsum,
+      5. within-row searchsorted for the residual rank.
+
+    Returns ``(pos, live, total)``: ``pos[j]`` = index of the (j+1)-th set
+    bit (== N for dead slots), ``live[j] = j < total``, ``total`` = exact
+    popcount.  Exact while ``total <= k_slots`` — callers branch to dense
+    paths past that.  Bitwise-identical to ``mask_ranks`` +
+    :func:`compact_from_ranks`.
+    """
+    n = mask.shape[0]
+    k_slots = min(k_slots, n)  # tiny worlds (and vmapped tests) must not
+    # blow the (k_slots, block) intermediates past the data itself
+    nb = -(-n // block)
+    pad = nb * block - n
+    m = mask.astype(jnp.int8)
+    if pad:
+        m = jnp.concatenate([m, jnp.zeros((pad,), jnp.int8)])
+    m2 = m.reshape(nb, block)
+    bs = m2.astype(jnp.int32).sum(axis=1)
+    bp = jnp.cumsum(bs)
+    total = bp[nb - 1]
+
+    tgt = jnp.arange(1, k_slots + 1, dtype=jnp.int32)
+    blk = jnp.searchsorted(bp, tgt, side="left").astype(jnp.int32)
+    blk_safe = jnp.minimum(blk, nb - 1)
+    prior = jnp.take(bp, blk_safe) - jnp.take(bs, blk_safe)
+    resid = tgt - prior  # 1-indexed rank within the owning block
+
+    rows = jnp.take(m2, blk_safe, axis=0)  # (K, block) row gather
+    local = jnp.cumsum(rows.astype(jnp.int32), axis=1)
+    # index of first local >= resid == count of (local < resid): one
+    # vectorized compare+reduce instead of a batched searchsorted loop
+    within = (local < resid[:, None]).sum(axis=1).astype(jnp.int32)
+
+    live = tgt <= total
+    pos = jnp.where(live, blk_safe * block + within, n).astype(jnp.int32)
+    return pos, live, total

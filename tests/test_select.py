@@ -1,0 +1,84 @@
+"""Sampled exact-k threshold (ops/select.py) vs the 32-pass bisection.
+
+Both must return the IDENTICAL uint32 (the k-th smallest eligible hash
+score) for any pool shape — the fast path's trajectories must not depend
+on which branch ran (engine/fastpath.py §11).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from epidemicsimulator_tpu.ops.hashrng import hash_bits
+from epidemicsimulator_tpu.ops.select import bisect_threshold, kth_threshold
+
+
+def _ref_kth(seed, elig, k):
+    scores = np.asarray(hash_bits(jnp.uint32(seed),
+                                  jnp.arange(elig.shape[0], dtype=jnp.uint32)))
+    pool = np.sort(scores[elig])
+    return np.uint32(pool[k - 1])
+
+
+@pytest.mark.parametrize("density", [0.9, 0.1, 0.001])
+@pytest.mark.parametrize("k", [1, 37, 1500, 9000])
+def test_sampled_matches_bisect(density, k):
+    n = 300_000
+    rng = np.random.default_rng(hash((density, k)) % 2**32)
+    elig = rng.random(n) < density
+    n_el = int(elig.sum())
+    if k > n_el:
+        k = n_el
+    seed = 12345
+
+    got_b = int(bisect_threshold(
+        hash_bits(jnp.uint32(seed), jnp.arange(n, dtype=jnp.uint32)),
+        jnp.asarray(elig), jnp.int32(k)))
+    got_s = int(kth_threshold(
+        jnp.uint32(seed), jnp.asarray(elig), jnp.int32(k), jnp.int32(n_el),
+        force_sampled=True, sample_log2=12, band_slots=512))
+    want = int(_ref_kth(seed, elig, k))
+    assert got_b == want
+    assert got_s == want
+
+
+def test_tiny_band_falls_back():
+    # band_slots too small for the band -> overflow cond -> bisect; result
+    # still exact
+    n = 200_000
+    rng = np.random.default_rng(0)
+    elig = rng.random(n) < 0.5
+    n_el = int(elig.sum())
+    k = 5_000
+    got = int(kth_threshold(
+        jnp.uint32(7), jnp.asarray(elig), jnp.int32(k), jnp.int32(n_el),
+        force_sampled=True, sample_log2=12, band_slots=8))
+    assert got == int(_ref_kth(7, elig, k))
+
+
+def test_k_edges():
+    n = 150_000
+    elig = np.ones(n, bool)
+    for k in [1, n]:
+        got = int(kth_threshold(
+            jnp.uint32(3), jnp.asarray(elig), jnp.int32(k), jnp.int32(n),
+            force_sampled=True, sample_log2=12, band_slots=512))
+        assert got == int(_ref_kth(3, elig, k))
+
+
+def test_jit_under_cond():
+    # as used in fastpath: inside jit, k traced
+    n = 260_000
+    rng = np.random.default_rng(1)
+    elig = jnp.asarray(rng.random(n) < 0.3)
+    n_el = jnp.sum(elig.astype(jnp.int32))
+
+    @jax.jit
+    def f(seed, k):
+        return kth_threshold(seed, elig, k, n_el, force_sampled=True,
+                             sample_log2=12, band_slots=512)
+
+    for k in [10, 333]:
+        want = int(_ref_kth(9, np.asarray(elig), k))
+        assert int(f(jnp.uint32(9), jnp.int32(k))) == want
