@@ -261,6 +261,10 @@ class SimConfig:
     #: Slot count K for the sparse cross-order transports; steps with more
     #: new exposures than this fall back to the dense permutation sort.
     sparse_transport_slots: int = 2048
+    #: Rows per grid step of the fused citizen kernel ((rows, 128) tiles).
+    #: 1024 measured best at 63M (9.4 -> 8.8 ms/step lean; 2048+ exceeds
+    #: VMEM and fails Mosaic compile) and is neutral at Y&H (docs/PERF.md).
+    fused_block_rows: int = 1024
     #: Slot bound for the sparse per-OA home-exposure recording path
     #: (fastpath §9: compact hit positions + K-bounded scatter-add instead
     #: of cumsum + boundary gathers).  None = auto: 8192 for populations

@@ -237,6 +237,7 @@ def fast_step(
             K=K,
             ref_mask_sem=cfg.reference_mask_semantics,
             u8_trunc=cfg.reference_u8_truncation,
+            block_rows=cfg.fused_block_rows,
             interpret=jax.default_backend() != "tpu",
         )
         seirv0 = jnp.sum(partials[:, :5], axis=0)
