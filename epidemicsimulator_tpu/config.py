@@ -282,6 +282,21 @@ class SimConfig:
     #: selection; the traced DiseaseParams.vaccination_rate must not exceed
     #: it).
     max_vaccinations_per_step: int = 85 * 18
+    #: Sampled vaccination draws (fast path only): keep the eligible pool
+    #: as a compacted index array (rebuilt by one device sort only when the
+    #: pool halves), and each step draw ~8k uniform candidate slots, reject
+    #: entries whose citizens left the pool (checked against the live
+    #: ``eligible`` lane), and take the first k distinct — a uniform
+    #: k-subset of the current pool, i.e. the SAME LAW as the default
+    #: fresh-threshold selector, for both faithful and intended pool
+    #: semantics.  All per-step work is K-sized (~0.3 ms at any scale vs
+    #: ~5 ms/step at 63M for the pool-wide search); a lax.cond falls back
+    #: to the threshold selector on candidate shortfall (exactness
+    #: preserved — the fallback is also a uniform k-subset).  Changes which
+    #: individual citizens are picked (different draw stream), so
+    #: trajectories differ from the default mode but match in law.
+    #: Requires init_state(..., fixed_priority_vax=True) for the lanes.
+    vaccination_fixed_priority: bool = False
     bus_capacity: int = BUS_CAPACITY
     starting_infected: int = STARTING_INFECTED_COUNT
     debug_print_every: int = DEBUG_ITERATION_PRINT

@@ -48,7 +48,8 @@ def make_ensemble_runner(world: World, cfg: SimConfig):
     # transports' lax.conds into always-both-branches selects, so the dense
     # fallbacks would run every step.
     cfg = dataclasses.replace(
-        cfg, record_exposures_per_oa=False, use_replicated_orders=False
+        cfg, record_exposures_per_oa=False, use_replicated_orders=False,
+        vaccination_fixed_priority=False,
     )
 
     from .scan import _RUNNER_CACHE, world_signature

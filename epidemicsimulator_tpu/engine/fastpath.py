@@ -683,7 +683,11 @@ def fast_step(
                 .add(1, mode="drop")
             )
 
-        if K_OA > 0:
+        if K_OA < 0:
+            # probe-only: sparse with no cond (truncates past |K_OA| hits)
+            K_OA = -K_OA
+            oa_home = oa_sparse(hit_home)
+        elif K_OA > 0:
             oa_home = jax.lax.cond(
                 jnp.sum(hit_home.astype(jnp.int32)) <= K_OA,
                 oa_sparse,
@@ -733,42 +737,127 @@ def fast_step(
         ),
     ).astype(jnp.int8)
 
-    # 11. vaccination: exact-k uniform selection by score threshold
-    #     (simulator.rs:524-553; pool quirks per SimConfig.faithful_vaccine_bugs)
+    # 11. vaccination: exact-k uniform selection (simulator.rs:524-553;
+    #     pool quirks per SimConfig.faithful_vaccine_bugs).  Two selectors:
+    #     the default draws a fresh hash-score threshold per step; the
+    #     fixed-priority mode (SimConfig.vaccination_fixed_priority) ranks
+    #     citizens ONCE by a per-run priority at activation and takes the k
+    #     lowest-priority pool members — same joint distribution (iid
+    #     priorities + priority-independent prunes keep survivor ranks
+    #     uniform), one K-bounded compaction instead of a pool-wide search.
+    fixed_pri = (
+        cfg.vaccination_fixed_priority
+        and state.vax_pool is not None
+        and state.vax_pool.shape[0] == n
+    )
+    if fixed_pri:
+        # Compacted candidate pool: eligible citizen ids form the prefix
+        # (one device sort).  Built at activation; rebuilt when the live
+        # pool halves (stale entries are rejected at draw time against the
+        # live `eligible` lane, so correctness never depends on freshness).
+        n_elig_now = jnp.sum(eligible.astype(jnp.int32))
+
+        def _rebuild(_):
+            iota = jnp.arange(n, dtype=jnp.int32)
+            _, pool = jax.lax.sort(
+                ((~eligible).astype(jnp.int8), iota),
+                num_keys=1, is_stable=True,
+            )
+            return pool, n_elig_now
+
+        need_rebuild = newly_started | (
+            vaccination_started & (n_elig_now * 2 < state.vax_pool_size)
+        )
+        vax_pool, vax_pool_size = jax.lax.cond(
+            need_rebuild,
+            _rebuild,
+            lambda _: (state.vax_pool, state.vax_pool_size),
+            None,
+        )
+    else:
+        vax_pool, vax_pool_size = state.vax_pool, state.vax_pool_size
+
     def vaccinate(args):
         status, eligible = args[0], args[1]
         from ..ops.hashrng import hash_bits
         from ..ops.select import kth_threshold
 
-        seed_vax = jax.random.bits(k_vax, (), jnp.uint32)
-        scores = hash_bits(seed_vax, jnp.arange(n, dtype=jnp.uint32))
         n_elig = jnp.sum(eligible.astype(jnp.int32))
         k = jnp.minimum(jnp.asarray(d.vaccination_rate, jnp.int32), n_elig)
-        tau = kth_threshold(
-            seed_vax, eligible, k, n_elig, use_pallas=use_pallas
-        )
-        below = eligible & (scores < tau)
-        at = eligible & (scores == tau)
-        allowed = k - jnp.sum(below.astype(jnp.int32))
 
-        def tiebreak(at_lane):
-            # multiple eligible scores equal tau (p ~ pool/2^32 per step):
-            # exact-k needs their cumulative ranks
-            if use_pallas:
-                from ..ops.pallas_scans import cumsum_pallas
+        def fresh_threshold(key):
+            # default selector: exact-k via the k-th smallest fresh hash
+            # score over the pool
+            seed_vax = jax.random.bits(key, (), jnp.uint32)
+            scores = hash_bits(seed_vax, jnp.arange(n, dtype=jnp.uint32))
+            tau = kth_threshold(
+                seed_vax, eligible, k, n_elig, use_pallas=use_pallas
+            )
+            below = eligible & (scores < tau)
+            at = eligible & (scores == tau)
+            allowed = k - jnp.sum(below.astype(jnp.int32))
 
-                at_rank = cumsum_pallas(at_lane)
-            else:
-                at_rank = jnp.cumsum(at_lane.astype(jnp.int32))
-            return at_lane & (at_rank <= allowed)
+            def tiebreak(at_lane):
+                # multiple eligible scores equal tau (p ~ pool/2^32 per
+                # step): exact-k needs their cumulative ranks
+                if use_pallas:
+                    from ..ops.pallas_scans import cumsum_pallas
 
-        take_at = jax.lax.cond(
-            jnp.sum(at.astype(jnp.int32)) > allowed,
-            tiebreak,
-            lambda at_lane: at_lane,
-            at,
-        )
-        chosen = below | take_at
+                    at_rank = cumsum_pallas(at_lane)
+                else:
+                    at_rank = jnp.cumsum(at_lane.astype(jnp.int32))
+                return at_lane & (at_rank <= allowed)
+
+            take_at = jax.lax.cond(
+                jnp.sum(at.astype(jnp.int32)) > allowed,
+                tiebreak,
+                lambda at_lane: at_lane,
+                at,
+            )
+            return below | take_at
+
+        if fixed_pri:
+            # rejection-sampled uniform k-subset: draw D candidate slots,
+            # reject stale pool entries against the live eligible lane,
+            # keep the first k distinct (in draw order — a uniform
+            # k-subset); fall back to the threshold selector if the draws
+            # come up short (also uniform, so the law is unchanged)
+            from ..ops.sparse import scatter_bits as _sbits
+
+            D = 8192
+            u = jax.random.bits(k_vax, (D,), jnp.uint32)
+            size_u = jnp.maximum(vax_pool_size, 1).astype(jnp.uint32)
+            rem = (jnp.uint32(0) - size_u) % size_u  # 2^32 mod size
+            accept = u >= rem  # Lemire rejection: slots exactly uniform
+            slot = (u % size_u).astype(jnp.int32)
+            members = jnp.take(
+                vax_pool, jnp.minimum(slot, n - 1), mode="clip"
+            )
+            alive = (
+                accept
+                & (slot < vax_pool_size)
+                & jnp.take(eligible, members)
+            )
+            seq = jnp.arange(D, dtype=jnp.int32)
+            mkey = jnp.where(alive, members, n)
+            sk, ss = jax.lax.sort((mkey, seq), num_keys=2)
+            first = (sk < n) & (
+                (seq == 0) | (sk != jnp.roll(sk, 1))
+            )
+            n_distinct = jnp.sum(first.astype(jnp.int32))
+            cand_seq = jnp.where(first, ss, jnp.int32(2**30))
+            order = jnp.sort(cand_seq)
+            kth_seq = order[jnp.clip(k - 1, 0, D - 1)]
+            sel = first & (ss <= kth_seq) & (k >= 1)
+            sampled = _sbits(n, jnp.where(sel, sk, n), sel)
+            chosen = jax.lax.cond(
+                n_distinct >= k,
+                lambda _: sampled,
+                lambda _: fresh_threshold(jax.random.fold_in(k_vax, 1)),
+                None,
+            )
+        else:
+            chosen = fresh_threshold(k_vax)
 
         def apply(chosen_lane, status_lane):
             new = jnp.where(
@@ -784,8 +873,9 @@ def fast_step(
         new_status = apply(chosen, status)
         if not cfg.faithful_vaccine_bugs:
             eligible = eligible & ~chosen
+        n_vax_now = jnp.sum(chosen.astype(jnp.int32))
         if not rep:
-            return new_status, eligible, jnp.sum(chosen.astype(jnp.int32))
+            return new_status, eligible, n_vax_now
 
         from ..ops.sparse import compact_positions, scatter_bits
 
@@ -805,10 +895,7 @@ def fast_step(
         )
         st_ws = apply(chosen_ws, args[2])
         st_r = apply(chosen_r, args[3])
-        return (
-            new_status, eligible, st_ws, st_r,
-            jnp.sum(chosen.astype(jnp.int32)),
-        )
+        return new_status, eligible, st_ws, st_r, n_vax_now
 
     if rep:
         status, eligible, status_ws1, status_r1, n_vax = jax.lax.cond(
@@ -841,6 +928,8 @@ def fast_step(
         status_r=status_r1 if rep else state.status_r,
         timer_r=timer_r1.astype(jnp.int16) if rep else state.timer_r,
         on_bus_r=on_bus_r1 if rep else state.on_bus_r,
+        vax_pool=vax_pool if fixed_pri else state.vax_pool,
+        vax_pool_size=vax_pool_size if fixed_pri else state.vax_pool_size,
         hour=hour,
         lockdown=lockdown,
         vaccination_started=vaccination_started,

@@ -58,6 +58,7 @@ class Simulator:
             self.world,
             seed=seed,
             starting_infected=self.cfg.starting_infected,
+            fixed_priority_vax=self.cfg.vaccination_fixed_priority,
         )
         if checkpoint_path is not None:
             import os

@@ -60,6 +60,15 @@ class SimState:
     timer_r: Any = None
     on_bus_r: Any = None
 
+    # sampled-vaccination pool (SimConfig.vaccination_fixed_priority;
+    # allocated by init_state(..., fixed_priority_vax=True), (0,) otherwise).
+    # vax_pool[:vax_pool_size] holds the citizen ids of a superset of the
+    # eligible pool (entries go stale when citizens leave; draws reject
+    # against the live eligible lane); rebuilt by one device sort when the
+    # pool halves.  Built the step the program activates.
+    vax_pool: Any = None
+    vax_pool_size: Any = None
+
 
 def with_status(state: SimState, world: World, status) -> SimState:
     """Replace the status lane, keeping the replicated-order twins in sync.
@@ -84,6 +93,7 @@ def init_state(
     seed: int = 0,
     starting_infected: int = 10,
     np_seed: int | None = None,
+    fixed_priority_vax: bool = False,
 ) -> SimState:
     """Initial state with seeded infections.
 
@@ -141,6 +151,8 @@ def init_state(
         status_r=jnp.asarray(status_r),
         timer_r=jnp.zeros(n_r, jnp.int16),
         on_bus_r=jnp.zeros(n_r, jnp.bool_),
+        vax_pool=jnp.zeros(n if fixed_priority_vax else 0, jnp.int32),
+        vax_pool_size=jnp.zeros((), jnp.int32),
         hour=jnp.asarray(0, jnp.int32),
         lockdown=jnp.asarray(False),
         vaccination_started=jnp.asarray(False),

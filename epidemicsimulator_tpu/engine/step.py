@@ -434,6 +434,8 @@ def step(
         status_r=state.status_r,
         timer_r=state.timer_r,
         on_bus_r=state.on_bus_r,
+        vax_pool=state.vax_pool,
+        vax_pool_size=state.vax_pool_size,
         hour=hour,
         lockdown=lockdown,
         vaccination_started=vaccination_started,

@@ -330,6 +330,8 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
         status_r=state.status_r,
         timer_r=state.timer_r,
         on_bus_r=state.on_bus_r,
+        vax_pool=state.vax_pool,
+        vax_pool_size=state.vax_pool_size,
         hour=hour,
         lockdown=lockdown,
         vaccination_started=vaccination_started,
@@ -372,6 +374,8 @@ def init_sharded_state(world, sw: ShardedWorld, *, seed=0, starting_infected=10)
         status_r=jnp.zeros((0,), jnp.int8),
         timer_r=jnp.zeros((0,), jnp.int16),
         on_bus_r=jnp.zeros((0,), bool),
+        vax_pool=jnp.zeros((0,), jnp.int32),
+        vax_pool_size=jnp.zeros((), jnp.int32),
     )
 
 

@@ -67,6 +67,9 @@ def main():
         ("vax-off", novax, dict()),
         ("oa-off", base, dict(record_exposures_per_oa=False)),
         ("lean", novax, dict(record_exposures_per_oa=False)),
+        ("oa-nocond", base, dict(oa_sparse_slots=-8192)),
+        ("oa-dense", base, dict(oa_sparse_slots=0)),
+        ("vax-pool", base, dict(vaccination_fixed_priority=True)),
     ]
 
     for name, params, opts in variants:
@@ -75,7 +78,10 @@ def main():
             chunk_size=args.chunk,
             **opts,
         )
-        state = init_state(world, seed=0, starting_infected=seed_inf)
+        state = init_state(
+            world, seed=0, starting_infected=seed_inf,
+            fixed_priority_vax=cfg.vaccination_fixed_priority,
+        )
         chunk_fn = make_chunk_runner(world, cfg)
         t0 = time.perf_counter()
         state, out = chunk_fn(params, state)
