@@ -383,6 +383,13 @@ def citizen_phase(
     kern = functools.partial(
         _kernel_entry, K, ref_mask_sem, u8_trunc, n, block_rows
     )
+    extra = {}
+    if not interpret:
+        # blocks are independent (halos are input-only overlaps): a
+        # parallel grid lets Mosaic pipeline steps instead of serialising
+        extra["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        )
     res = pl.pallas_call(
         kern,
         grid=(n_blocks,),
@@ -394,6 +401,7 @@ def citizen_phase(
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        **extra,
     )(
         int_scalars.reshape(8, 1), f32_scalars.reshape(2, 1),
         *ext_arrays, *ext_arrays, *ext_arrays, *ctr_arrays,

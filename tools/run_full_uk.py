@@ -68,38 +68,46 @@ def main():
         f"citizens, {world.n_buildings:,} buildings, {world.n_rooms:,} "
         f"rooms, {world.n_output_areas:,} OAs")
 
-    cfg = SimConfig(max_steps=args.chunk * 2 + args.steps, chunk_size=args.chunk)
     params = Params.covid().as_arrays()
-    # Seed proportionally to the bench workload (20k @ 3.46M) so the
-    # intervention subsystems are live in the timed window.
-    state = init_state(world, seed=0, starting_infected=360_000)
 
-    chunk_fn = make_chunk_runner(world, cfg)
-
-    t0 = time.perf_counter()
-    state, out = chunk_fn(params, state)
-    jax.block_until_ready(out.seirv)
-    t_compile = time.perf_counter() - t0
-    log(f"compile+first chunk ({args.chunk} steps) in {t_compile:.1f}s")
-
-    # One more warmup chunk to pass transients.
-    state, out = chunk_fn(params, state)
-    jax.block_until_ready(out.seirv)
-    log(f"seirv after warmup: {np.asarray(out.seirv)[-1].tolist()}")
-
-    n_chunks = args.steps // args.chunk
-    t0 = time.perf_counter()
-    for _ in range(n_chunks):
+    def measure(vax_pool: bool):
+        cfg = SimConfig(
+            max_steps=args.chunk * 2 + args.steps, chunk_size=args.chunk,
+            vaccination_fixed_priority=vax_pool,
+        )
+        # Seed proportionally to the bench workload (20k @ 3.46M) so the
+        # intervention subsystems are live in the timed window.
+        state = init_state(world, seed=0, starting_infected=360_000,
+                           fixed_priority_vax=vax_pool)
+        chunk_fn = make_chunk_runner(world, cfg)
+        t0 = time.perf_counter()
         state, out = chunk_fn(params, state)
-    jax.block_until_ready(out.seirv)
-    elapsed = time.perf_counter() - t0
-    timed_steps = n_chunks * args.chunk
+        jax.block_until_ready(out.seirv)
+        t_compile = time.perf_counter() - t0
+        log(f"[vax_pool={vax_pool}] compile+first chunk ({args.chunk} "
+            f"steps) in {t_compile:.1f}s")
+        state, out = chunk_fn(params, state)
+        jax.block_until_ready(out.seirv)
+        log(f"seirv after warmup: {np.asarray(out.seirv)[-1].tolist()}")
+        n_chunks = args.steps // args.chunk
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            state, out = chunk_fn(params, state)
+        jax.block_until_ready(out.seirv)
+        elapsed = time.perf_counter() - t0
+        timed = n_chunks * args.chunk
+        ms = elapsed / timed * 1e3
+        rate = N_CITIZENS * timed / elapsed
+        seirv = np.asarray(out.seirv)[-1].tolist()
+        log(f"[vax_pool={vax_pool}] {timed} steps in {elapsed:.2f}s "
+            f"({ms:.1f} ms/step, {rate / 1e6:.0f}M citizen-steps/s); "
+            f"final seirv {seirv}")
+        return ms, rate, seirv, t_compile, timed
 
-    ms_per_step = elapsed / timed_steps * 1e3
-    rate = N_CITIZENS * timed_steps / elapsed
-    seirv = np.asarray(out.seirv)[-1].tolist()
-    log(f"{timed_steps} steps in {elapsed:.2f}s ({ms_per_step:.1f} ms/step, "
-        f"{rate / 1e6:.0f}M citizen-steps/s); final seirv {seirv}")
+    # default semantics (fresh per-step threshold draws) = the headline;
+    # the sampled-draw selector (same law, different stream) as secondary
+    ms_per_step, rate, seirv, t_compile, timed_steps = measure(False)
+    ms_pool, rate_pool, _, _, _ = measure(True)
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
@@ -115,6 +123,8 @@ def main():
                 "timed_steps": timed_steps,
                 "ms_per_step": round(ms_per_step, 2),
                 "citizen_steps_per_sec": round(rate),
+                "ms_per_step_sampled_vax": round(ms_pool, 2),
+                "citizen_steps_per_sec_sampled_vax": round(rate_pool),
                 "final_seirv": seirv,
             },
             f,
