@@ -297,6 +297,12 @@ class SimConfig:
     #: trajectories differ from the default mode but match in law.
     #: Requires init_state(..., fixed_priority_vax=True) for the lanes.
     vaccination_fixed_priority: bool = False
+    #: Debug/probe only: bitmask subtracting pieces of the vaccinate branch
+    #: (NOT semantics-preserving; tools/probe_vax_parts.py).  bit0: real
+    #: exact-k selector (else a fixed-threshold fake), bit1: apply the
+    #: status/eligible updates, bit2: replicated-order fan-out of the
+    #: chosen lane.  -1 = all real.
+    debug_vax_parts: int = -1
     bus_capacity: int = BUS_CAPACITY
     starting_infected: int = STARTING_INFECTED_COUNT
     debug_print_every: int = DEBUG_ITERATION_PRINT

@@ -197,6 +197,16 @@ def fast_step(
     hour = state.hour + 1
     key = jax.random.fold_in(state.rng_key, hour)
     k_bus, k_h, k_w, k_b, k_vax = jax.random.split(key, 5)
+    # Derive every cond branch's RNG seed here and close over the ready
+    # u32 scalars.  Hygiene, not the stall fix: tools/probe_vax_parts2
+    # showed a fired vaccinate-cond costs ~55 ms/step even when its branch
+    # body is trivial and all seeds are pre-derived (59.6 fired vs 5.0
+    # unfired ms/step within ONE executable) — the firing itself stalls
+    # this runtime, hence the unconditional formulation selected by
+    # engine/scan.py once vaccination latches (docs/PERF.md).
+    seed_w = jax.random.bits(k_w, (), jnp.uint32)
+    seed_vax0 = jax.random.bits(k_vax, (), jnp.uint32)
+    seed_vax1 = jax.random.bits(jax.random.fold_in(k_vax, 1), (), jnp.uint32)
     h24 = (hour % 24).astype(jnp.int8)
     move = ~state.lockdown
 
@@ -435,7 +445,6 @@ def fast_step(
         # counter-hash uniforms: ~5x cheaper than a threefry pass at N=3.5M
         from ..ops.hashrng import hash_uniform
 
-        seed_w = jax.random.bits(k_w, (), jnp.uint32)
         u_w = hash_uniform(seed_w, jnp.arange(n, dtype=jnp.uint32))
         hit_work_ws = susc_ws & (u_w < q_work_ws)
         from_work_ws = hit_work_ws & ~hit_home_ws
@@ -498,7 +507,6 @@ def fast_step(
         from ..ops.hashrng import hash_uniform
         from ..ops.sparse import compact_positions, scatter_bits
 
-        seed_w = jax.random.bits(k_w, (), jnp.uint32)
         u_w = hash_uniform(seed_w, jnp.arange(n, dtype=jnp.uint32))
         hit_work_ws = susc_ws & (u_w < q_work_ws)
         from_work_ws = hit_work_ws & ~hit_home_ws
@@ -785,10 +793,10 @@ def fast_step(
         n_elig = jnp.sum(eligible.astype(jnp.int32))
         k = jnp.minimum(jnp.asarray(d.vaccination_rate, jnp.int32), n_elig)
 
-        def fresh_threshold(key):
+        def fresh_threshold(seed_vax):
             # default selector: exact-k via the k-th smallest fresh hash
-            # score over the pool
-            seed_vax = jax.random.bits(key, (), jnp.uint32)
+            # score over the pool (seed derived OUTSIDE the cond — see the
+            # scalar-chain note at the top of fast_step)
             scores = hash_bits(seed_vax, jnp.arange(n, dtype=jnp.uint32))
             tau = kth_threshold(
                 seed_vax, eligible, k, n_elig, use_pallas=use_pallas
@@ -816,7 +824,17 @@ def fast_step(
             )
             return below | take_at
 
-        if fixed_pri:
+        # negative = all pieces real (-1 conditional, -2 unconditional)
+        parts = -1 if cfg.debug_vax_parts < 0 else cfg.debug_vax_parts
+        if not parts & 1:
+            # probe-only fake selector: one fixed-threshold compare
+            from ..ops.hashrng import hash_bits as _hb
+
+            chosen = eligible & (
+                _hb(seed_vax0, jnp.arange(n, dtype=jnp.uint32))
+                < jnp.uint32(0x00200000)
+            )
+        elif fixed_pri:
             # rejection-sampled uniform k-subset: draw D candidate slots,
             # reject stale pool entries against the live eligible lane,
             # keep the first k distinct (in draw order — a uniform
@@ -853,11 +871,11 @@ def fast_step(
             chosen = jax.lax.cond(
                 n_distinct >= k,
                 lambda _: sampled,
-                lambda _: fresh_threshold(jax.random.fold_in(k_vax, 1)),
+                lambda _: fresh_threshold(seed_vax1),
                 None,
             )
         else:
-            chosen = fresh_threshold(k_vax)
+            chosen = fresh_threshold(seed_vax0)
 
         def apply(chosen_lane, status_lane):
             new = jnp.where(
@@ -870,12 +888,18 @@ def fast_step(
                 )
             return new
 
-        new_status = apply(chosen, status)
-        if not cfg.faithful_vaccine_bugs:
-            eligible = eligible & ~chosen
+        if parts & 2:
+            new_status = apply(chosen, status)
+            if not cfg.faithful_vaccine_bugs:
+                eligible = eligible & ~chosen
+        else:
+            new_status = status
         n_vax_now = jnp.sum(chosen.astype(jnp.int32))
         if not rep:
             return new_status, eligible, n_vax_now
+
+        if not parts & 4:
+            return new_status, eligible, args[2], args[3], n_vax_now
 
         from ..ops.sparse import compact_positions, scatter_bits
 
@@ -897,7 +921,17 @@ def fast_step(
         st_r = apply(chosen_r, args[3])
         return new_status, eligible, st_ws, st_r, n_vax_now
 
-    if rep:
+    if cfg.debug_vax_parts == -2:
+        # probe-only: unconditional vaccinate (no lax.cond).  Semantics are
+        # preserved because pre-activation the eligible lane is all-false,
+        # so k = min(rate, 0) = 0 selects nobody.
+        if rep:
+            status, eligible, status_ws1, status_r1, n_vax = vaccinate(
+                (status, eligible, status_ws1, status_r1)
+            )
+        else:
+            status, eligible, n_vax = vaccinate((status, eligible))
+    elif rep:
         status, eligible, status_ws1, status_r1, n_vax = jax.lax.cond(
             vaccination_started,
             vaccinate,

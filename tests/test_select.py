@@ -82,3 +82,29 @@ def test_jit_under_cond():
     for k in [10, 333]:
         want = int(_ref_kth(9, np.asarray(elig), k))
         assert int(f(jnp.uint32(9), jnp.int32(k))) == want
+
+
+def test_radix_matches_bisect():
+    # radix_threshold is the engine's 8-pass form of the 32-pass bisection;
+    # identical uint32 on every pool shape, including duplicate scores
+    from epidemicsimulator_tpu.ops.select import radix_threshold
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n = int(rng.integers(10, 50_000))
+        scores = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
+        elig = jnp.asarray(rng.random(n) < max(rng.random(), 0.01))
+        n_el = int(jnp.sum(elig))
+        if n_el == 0:
+            continue
+        k = int(rng.integers(1, n_el + 1))
+        assert int(radix_threshold(scores, elig, jnp.int32(k))) == int(
+            bisect_threshold(scores, elig, jnp.int32(k))
+        )
+    dup = jnp.asarray(np.array([5, 5, 5, 1, 0xFFFFFFFF, 7] * 100,
+                               dtype=np.uint32))
+    all_on = jnp.ones(600, bool)
+    for k in (1, 2, 100, 300, 599, 600):
+        assert int(radix_threshold(dup, all_on, jnp.int32(k))) == int(
+            bisect_threshold(dup, all_on, jnp.int32(k))
+        )
