@@ -90,7 +90,13 @@ def make_ensemble_runner(world: World, cfg: SimConfig):
             # scan stacks over time: (chunk, R, 5) -> (R, chunk, 5)
             return ns, jnp.transpose(seirv_t, (1, 0, 2))
 
-        jitted = jax.jit(chunk, donate_argnums=(4,))
+        # Same provenance pin as make_chunk_runner: device-built worlds are
+        # committed=True and would otherwise specialize a pathological
+        # executable (fired lax.conds stall ~55 ms; see engine/scan.py).
+        s = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        jitted = jax.jit(
+            chunk, donate_argnums=(4,), in_shardings=(s, s, s, s, s)
+        )
         masks = (jnp.asarray(work_hours), jnp.asarray(bus_hours))
         vm = (jitted, masks)
         _RUNNER_CACHE[key] = vm

@@ -97,7 +97,18 @@ def make_chunk_runner(world: World, cfg: SimConfig):
             )
             return state, outs
 
-        jitted = jax.jit(chunk, donate_argnums=(2,))
+        # Explicit in_shardings so compilation is independent of input
+        # *provenance*: device-built worlds arrive committed=True and jit
+        # otherwise specializes a second, pathological program for them in
+        # which every fired lax.cond (vaccination, lockdown lift) stalls
+        # ~55 ms — branch scalars get pinned to host memory (S(6) in the
+        # HLO).  Host-built (committed=False) inputs got the good program.
+        # Pinning one SingleDeviceSharding for all args makes both
+        # provenances share the good executable (docs/PERF.md).
+        s = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        jitted = jax.jit(
+            chunk, donate_argnums=(2,), in_shardings=(s, s, s)
+        )
         _RUNNER_CACHE[key] = jitted
 
     def run_chunk(params, state):
