@@ -296,7 +296,11 @@ class SimConfig:
     #: individual citizens are picked (different draw stream), so
     #: trajectories differ from the default mode but match in law.
     #: Requires init_state(..., fixed_priority_vax=True) for the lanes.
-    vaccination_fixed_priority: bool = False
+    #: None = auto: on for fast-path worlds with >= 16M citizens, where the
+    #: pool-wide threshold search costs ~5 ms/step (63M: 15.6 -> 11.6
+    #: ms/step) while the sampled path stays K-sized; below that scale the
+    #: default selector is cheaper (docs/PERF.md Y&H negative result).
+    vaccination_fixed_priority: bool | None = None
     #: Debug/probe only: bitmask subtracting pieces of the vaccinate branch
     #: (NOT semantics-preserving; tools/probe_vax_parts.py).  bit0: real
     #: exact-k selector (else a fixed-threshold fake), bit1: apply the

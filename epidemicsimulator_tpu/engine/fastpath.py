@@ -145,6 +145,17 @@ def wants_replicated(world: World, cfg: SimConfig, state: SimState) -> bool:
     )
 
 
+def wants_fixed_priority_vax(world: World, cfg: SimConfig) -> bool:
+    """Whether the sampled (pool-draw) vaccination selector should be used —
+    init_state callers use this to allocate the pool lanes.  Auto (None):
+    on for fast-path worlds >= 16M citizens, where the default selector's
+    pool-wide threshold search dominates the step (docs/PERF.md)."""
+    fp = cfg.vaccination_fixed_priority
+    if fp is None:
+        fp = world.n_citizens >= 16_000_000
+    return bool(fp) and cfg.use_fast_path and world.has_fast_tables
+
+
 def make_rider_statics(world: World):
     """Rider-order schedule lanes for the replicated bus path — one-time
     gathers, built outside the scan so they are loop-invariant."""
@@ -754,7 +765,7 @@ def fast_step(
     #     priorities + priority-independent prunes keep survivor ranks
     #     uniform), one K-bounded compaction instead of a pool-wide search.
     fixed_pri = (
-        cfg.vaccination_fixed_priority
+        wants_fixed_priority_vax(world, cfg)
         and state.vax_pool is not None
         and state.vax_pool.shape[0] == n
     )

@@ -14,6 +14,7 @@ import numpy as np
 from ..config import Params, SimConfig
 from ..stats.recorder import StatisticsRecorder, _memory_usage_string
 from ..world.schema import World
+from .fastpath import wants_fixed_priority_vax as _wants_fp_vax
 from .scan import run
 from .state import SimState, init_state
 
@@ -58,7 +59,7 @@ class Simulator:
             self.world,
             seed=seed,
             starting_infected=self.cfg.starting_infected,
-            fixed_priority_vax=self.cfg.vaccination_fixed_priority,
+            fixed_priority_vax=_wants_fp_vax(self.world, self.cfg),
         )
         if checkpoint_path is not None:
             import os

@@ -123,3 +123,26 @@ def test_checkpoint_roundtrip_carries_priority_lanes(tmp_path):
     assert (np.asarray(a.status) == np.asarray(b.status)).all()
     assert (np.asarray(a.vax_pool) == np.asarray(b.vax_pool)).all()
     assert int(a.vax_pool_size) == int(b.vax_pool_size)
+
+
+def test_auto_gate_resolves_by_scale():
+    """None (the default) = sampled selector only for >= 16M fast-path
+    worlds; explicit booleans always win (config.py)."""
+    from epidemicsimulator_tpu.engine.fastpath import wants_fixed_priority_vax
+
+    small = generate_synthetic_world(600, n_output_areas=4, seed=0)
+    auto = SimConfig()
+    assert auto.vaccination_fixed_priority is None
+    assert not wants_fixed_priority_vax(small, auto)
+    assert wants_fixed_priority_vax(
+        small, dataclasses.replace(auto, vaccination_fixed_priority=True)
+    )
+    import types
+
+    big = types.SimpleNamespace(
+        n_citizens=16_000_000, has_fast_tables=small.has_fast_tables
+    )
+    assert wants_fixed_priority_vax(big, auto)
+    assert not wants_fixed_priority_vax(
+        big, dataclasses.replace(auto, vaccination_fixed_priority=False)
+    )
