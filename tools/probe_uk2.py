@@ -78,9 +78,13 @@ def main():
             chunk_size=args.chunk,
             **opts,
         )
+        from epidemicsimulator_tpu.engine.fastpath import (
+            wants_fixed_priority_vax,
+        )
+
         state = init_state(
             world, seed=0, starting_infected=seed_inf,
-            fixed_priority_vax=cfg.vaccination_fixed_priority,
+            fixed_priority_vax=wants_fixed_priority_vax(world, cfg),
         )
         chunk_fn = make_chunk_runner(world, cfg)
         t0 = time.perf_counter()
