@@ -88,6 +88,15 @@ MASK_NONE = 0
 MASK_PUBLIC_TRANSPORT = 1
 MASK_EVERYWHERE = 2
 
+# Storage dtype of the disease state-timer lanes.  Values stay < 400
+# (disease.rs:47-71 resets at exposed/infected_time), but the lane is
+# carried int32: the fused citizen kernel computes in int32 (Mosaic has
+# no 2D s16 store path that isn't pathological — ops/pallas_citizen.py),
+# and an int16 store forced two 63M-lane convert passes per step at the
+# kernel boundary (~1.0 ms/step at UK scale; docs/PERF.md xplane
+# decomposition).  +126 MB of state at 63M buys those passes back.
+TIMER_DTYPE = jnp.int32
+
 
 # ---------------------------------------------------------------------------
 # Traced parameter pytrees

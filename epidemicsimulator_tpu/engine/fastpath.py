@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import (
+    TIMER_DTYPE,
     MASK_EVERYWHERE,
     MASK_NONE,
     MASK_PUBLIC_TRANSPORT,
@@ -961,7 +962,7 @@ def fast_step(
 
     new_state = SimState(
         status=status,
-        timer=timer.astype(jnp.int16),
+        timer=timer.astype(TIMER_DTYPE),
         at_work=at_work,
         on_bus=on_bus,
         bus_to_work=bus_to_work,
@@ -969,9 +970,9 @@ def fast_step(
         at_work_ws=at_work_ws,
         on_bus_ws=on_bus_ws,
         status_ws=status_ws1 if rep else state.status_ws,
-        timer_ws=timer_ws1.astype(jnp.int16) if rep else state.timer_ws,
+        timer_ws=timer_ws1.astype(TIMER_DTYPE) if rep else state.timer_ws,
         status_r=status_r1 if rep else state.status_r,
-        timer_r=timer_r1.astype(jnp.int16) if rep else state.timer_r,
+        timer_r=timer_r1.astype(TIMER_DTYPE) if rep else state.timer_r,
         on_bus_r=on_bus_r1 if rep else state.on_bus_r,
         vax_pool=vax_pool if fixed_pri else state.vax_pool,
         vax_pool_size=vax_pool_size if fixed_pri else state.vax_pool_size,

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import MASK_NONE, STATUS_INFECTED
+from ..config import MASK_NONE, STATUS_INFECTED, TIMER_DTYPE
 from ..world.schema import World
 
 
@@ -26,7 +26,7 @@ class SimState:
 
     # --- per-citizen ---
     status: Any          # int8 STATUS_* (disease.rs:36-44)
-    timer: Any           # int16 hours in current E/I state (disease.rs:39-41)
+    timer: Any           # TIMER_DTYPE hours in current E/I state (disease.rs:39-41)
     at_work: Any         # bool: current position is work_building.  Carried
                          # (not derived from the hour) because lockdown
                          # freezes transitions (citizen.rs:176).
@@ -139,7 +139,7 @@ def init_state(
         n_r = 0
     return SimState(
         status=jnp.asarray(status),
-        timer=jnp.zeros(n, jnp.int16),
+        timer=jnp.zeros(n, TIMER_DTYPE),
         at_work=jnp.zeros(n, jnp.bool_),
         on_bus=jnp.zeros(n, jnp.bool_),
         bus_to_work=jnp.zeros(n, jnp.bool_),
@@ -147,9 +147,9 @@ def init_state(
         at_work_ws=jnp.zeros(n_ws, jnp.bool_),
         on_bus_ws=jnp.zeros(n_ws, jnp.bool_),
         status_ws=jnp.asarray(status_ws),
-        timer_ws=jnp.zeros(n_ws, jnp.int16),
+        timer_ws=jnp.zeros(n_ws, TIMER_DTYPE),
         status_r=jnp.asarray(status_r),
-        timer_r=jnp.zeros(n_r, jnp.int16),
+        timer_r=jnp.zeros(n_r, TIMER_DTYPE),
         on_bus_r=jnp.zeros(n_r, jnp.bool_),
         vax_pool=jnp.zeros(n if fixed_priority_vax else 0, jnp.int32),
         vax_pool_size=jnp.zeros((), jnp.int32),

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import (
+    TIMER_DTYPE,
     MASK_EVERYWHERE,
     MASK_NONE,
     MASK_PUBLIC_TRANSPORT,
@@ -418,7 +419,7 @@ def step(
 
     new_state = SimState(
         status=status,
-        timer=timer.astype(jnp.int16),
+        timer=timer.astype(TIMER_DTYPE),
         at_work=at_work,
         on_bus=on_bus,
         bus_to_work=bus_to_work,

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..config import TIMER_DTYPE
 from .hashrng import hash_uniform
 
 LANES = 128
@@ -265,9 +266,11 @@ def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, refs):
     outs[10][b, 7] = 0
 
     outs[0][:] = status1_c.astype(jnp.int8)
-    outs[1][:] = timer1_c  # int32: s16 2D lanes hit a pathological
-    # tiled-slice path on this backend (~1.9ms/step measured); convert at
-    # the 1D boundary instead
+    outs[1][:] = timer1_c  # int32 end to end: s16 2D lanes hit a
+    # pathological tiled-slice path on this backend (~1.9ms/step
+    # measured), and an s16 STATE lane forced two 63M convert passes per
+    # step at the 1D boundary (~1.0 ms/step) — so the timer lane is
+    # stored TIMER_DTYPE=int32 everywhere (config.py)
     outs[2][:] = at_work1_c8.astype(jnp.int8)
     outs[3][:] = on_bus1_c8.astype(jnp.int8)
     outs[4][:] = btw1_8.astype(jnp.int8)
@@ -407,7 +410,7 @@ def citizen_phase(
         *ext_arrays, *ext_arrays, *ext_arrays, *ctr_arrays,
     )
     lanes = [r.reshape(-1)[:n] for r in res[:10]]
-    lanes[1] = lanes[1].astype(jnp.int16)
+    lanes[1] = lanes[1].astype(TIMER_DTYPE)
     for i in range(2, 8):  # boolean lanes ride int8 through Mosaic
         lanes[i] = lanes[i].astype(jnp.bool_)
     return tuple(lanes) + (res[10],)

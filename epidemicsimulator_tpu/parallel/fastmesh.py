@@ -24,6 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import (
+    TIMER_DTYPE,
     MASK_EVERYWHERE,
     MASK_NONE,
     MASK_PUBLIC_TRANSPORT,
@@ -318,7 +319,7 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
 
     new_state = SimState(
         status=status,
-        timer=timer.astype(jnp.int16),
+        timer=timer.astype(TIMER_DTYPE),
         at_work=at_work,
         on_bus=on_bus,
         bus_to_work=bus_to_work,
@@ -370,9 +371,9 @@ def init_sharded_state(world, sw: ShardedWorld, *, seed=0, starting_infected=10)
         on_bus_ws=jnp.zeros((0,), bool),
         # replicated-order twins don't exist in the sharded formulation
         status_ws=jnp.zeros((0,), jnp.int8),
-        timer_ws=jnp.zeros((0,), jnp.int16),
+        timer_ws=jnp.zeros((0,), TIMER_DTYPE),
         status_r=jnp.zeros((0,), jnp.int8),
-        timer_r=jnp.zeros((0,), jnp.int16),
+        timer_r=jnp.zeros((0,), TIMER_DTYPE),
         on_bus_r=jnp.zeros((0,), bool),
         vax_pool=jnp.zeros((0,), jnp.int32),
         vax_pool_size=jnp.zeros((), jnp.int32),

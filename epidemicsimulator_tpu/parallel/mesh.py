@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import OCC_UNEMPLOYED, Params, SimConfig
+from ..config import OCC_UNEMPLOYED, TIMER_DTYPE, Params, SimConfig
 from ..engine.state import SimState
 from ..engine.step import step
 from ..world.schema import World
@@ -90,7 +90,7 @@ def pad_state_for_mesh(state: SimState, n_total: int) -> SimState:
     return dataclasses.replace(
         state,
         status=jnp.concatenate([state.status, jnp.full(rem, 3, jnp.int8)]),
-        timer=jnp.concatenate([state.timer, jnp.zeros(rem, jnp.int16)]),
+        timer=jnp.concatenate([state.timer, jnp.zeros(rem, TIMER_DTYPE)]),
         at_work=jnp.concatenate([state.at_work, jnp.zeros(rem, bool)]),
         on_bus=jnp.concatenate([state.on_bus, jnp.zeros(rem, bool)]),
         bus_to_work=jnp.concatenate([state.bus_to_work, jnp.zeros(rem, bool)]),

@@ -6,6 +6,7 @@ import numpy as np
 
 from epidemicsimulator_tpu import Params, SimConfig, step
 from epidemicsimulator_tpu.config import (
+    TIMER_DTYPE,
     STATUS_EXPOSED,
     STATUS_INFECTED,
     STATUS_RECOVERED,
@@ -27,7 +28,7 @@ def _run_timers(status0, timer0, steps, exposed_time=96, infected_time=336):
         thresholds=params.thresholds,
     ).as_arrays()
     cfg = SimConfig()
-    st = state_with_status(w, [status0], timer=jnp.asarray([timer0], jnp.int16))
+    st = state_with_status(w, [status0], timer=jnp.asarray([timer0], TIMER_DTYPE))
     from helpers import run_steps_scan
 
     _, (status_t, timer_t, *_rest) = run_steps_scan(w, params, cfg, st, steps)
