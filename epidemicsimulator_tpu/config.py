@@ -96,6 +96,11 @@ MASK_EVERYWHERE = 2
 # kernel boundary (~1.0 ms/step at UK scale; docs/PERF.md xplane
 # decomposition).  +126 MB of state at 63M buys those passes back.
 TIMER_DTYPE = jnp.int32
+#: The replicated-order twin timer lanes stay int16: they never cross the
+#: Mosaic kernel boundary (their converts fuse into the advance/store XLA
+#: passes), and the twins are copied at cond boundaries every step in the
+#: vax-live regime — half-width halves that copy traffic.
+TIMER_TWIN_DTYPE = jnp.int16
 
 
 # ---------------------------------------------------------------------------
@@ -267,6 +272,13 @@ class SimConfig:
     #: because lax.cond flattens to both-branches inside vmap.
     #: Trajectories are bitwise-identical to the classic fast path.
     use_replicated_orders: bool | None = None
+    #: Carry the five schedule bools packed in ONE s8 lane through the
+    #: fused chunk scan (state.py::pack_sched).  None = auto: on for
+    #: >= 16M citizens, where it cuts kernel I/O + boundary conversions
+    #: (63M lean: 8.7 -> 6.5 ms/step) but measured ~0.5 ms/step SLOWER in
+    #: the Y&H replicated-order regime (docs/PERF.md).  The kernel always
+    #: speaks packed; this only selects the carry representation.
+    use_packed_sched: bool | None = None
     #: Slot count K for the sparse cross-order transports; steps with more
     #: new exposures than this fall back to the dense permutation sort.
     sparse_transport_slots: int = 2048

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..config import (
     TIMER_DTYPE,
+    TIMER_TWIN_DTYPE,
     MASK_EVERYWHERE,
     MASK_NONE,
     MASK_PUBLIC_TRANSPORT,
@@ -129,12 +130,15 @@ def wants_replicated(world: World, cfg: SimConfig, state: SimState) -> bool:
     present + enabled).  Chunk runners use this to prebuild rider statics."""
     rep = cfg.use_replicated_orders
     if rep is None:
-        # Auto: a small win at region scale (4.09 -> 4.06 ms/step at 3.46M)
-        # but a clear loss at UK scale (29 -> 55 ms/step at 63M) — the
-        # every-step twin maintenance outweighs the hour-gated sorts it
-        # replaces once the population dwarfs the active-hour fraction
-        # (docs/PERF.md).
-        rep = world.n_citizens <= 8_000_000
+        # Auto: OFF everywhere since the packed-sched kernel pass.  The
+        # replicated engine's original win was marginal (4.09 -> 4.06
+        # ms/step at 3.46M) and it LOSES under the packed kernel interface
+        # (4.83 rep vs 3.80 non-rep in one-process A/B,
+        # tools/probe_yh_norep.py; per-step twin copies + inflated
+        # compaction fusions — docs/PERF.md), on top of its documented
+        # loss at UK scale (29 -> 55 ms/step).  Kept as an explicit
+        # opt-in formulation; trajectories are bitwise-identical.
+        rep = False
     return (
         bool(rep)
         and cfg.use_fast_path
@@ -144,6 +148,16 @@ def wants_replicated(world: World, cfg: SimConfig, state: SimState) -> bool:
         and state.status_ws is not None
         and state.status_ws.shape[0] == world.n_citizens
     )
+
+
+def wants_packed_sched(world: World, cfg: SimConfig) -> bool:
+    """Whether the fused chunk runner carries the packed schedule lane.
+    Auto (None): on >= 16M citizens (docs/PERF.md: 2.3 ms/step win at 63M,
+    ~0.5 ms/step loss at Y&H under the replicated-order engine)."""
+    ps = cfg.use_packed_sched
+    if ps is None:
+        ps = world.n_citizens >= 16_000_000
+    return bool(ps) and wants_fused_citizen(world, cfg)
 
 
 def wants_fixed_priority_vax(world: World, cfg: SimConfig) -> bool:
@@ -250,11 +264,14 @@ def fast_step(
             jnp.asarray(1.0, jnp.float32)
             - jnp.asarray(d.mask_effectiveness, jnp.float32),
         ])
-        (status, timer, at_work, on_bus, bus_to_work, at_work_ws, on_bus_ws,
-         hit_home, fwd_packed, packed_bus, partials) = citizen_phase(
+        from .state import pack_sched, sched_packed
+
+        packed_carry = sched_packed(state)
+        sched_in = state.sched if packed_carry else pack_sched(state).sched
+        (status, timer, sched1, hit_home, fwd_packed, packed_bus,
+         partials) = citizen_phase(
             statics,
-            state.status, state.timer, state.at_work, state.on_bus,
-            state.bus_to_work, state.at_work_ws, state.on_bus_ws,
+            state.status, state.timer, sched_in,
             ints, f32s,
             K=K,
             ref_mask_sem=cfg.reference_mask_semantics,
@@ -267,7 +284,27 @@ def fast_step(
         work_pred_default = jnp.sum(partials[:, 5]) > 0
         bus_pred_default = jnp.sum(partials[:, 6]) > 0
         timer = jnp.asarray(timer, jnp.int32)
+        # Unpacked views: materialised ONLY where eagerly needed (the
+        # replicated engine / legacy bool-lane carry); the gated work/bus
+        # branches unpack inside their cond bodies so the bits never
+        # materialise on skipped steps.
+        if rep_needed := wants_replicated(world, cfg, state):
+            at_work_ws = (sched1 & 8) != 0
+            on_bus_ws = (sched1 & 16) != 0
+        if not packed_carry:
+            at_work = (sched1 & 1) != 0
+            on_bus = (sched1 & 2) != 0
+            bus_to_work = (sched1 & 4) != 0
+            if not rep_needed:
+                at_work_ws = (sched1 & 8) != 0
+                on_bus_ws = (sched1 & 16) != 0
     else:
+        packed_carry = False
+        from .state import sched_packed, unpack_sched
+
+        if sched_packed(state):  # packed carry reached a non-fused step
+            state = unpack_sched(state)
+
         # 1. disease timers (disease.rs:47-71)
         status, timer = _advance_disease(
             state.status, jnp.asarray(state.timer, jnp.int32), d
@@ -443,11 +480,18 @@ def fast_step(
         draws_ws = jnp.where(
             world.ws_is_school, room_ws, (n_w_ws > 0).astype(jnp.int32)
         )
+        # schedule bits unpack INSIDE the branch (fused mode) so the lanes
+        # never materialise on steps where the cond is skipped
+        if use_fused:
+            at_work_ws_l = (sched1 & 8) != 0
+            on_bus_ws_l = (sched1 & 16) != 0
+        else:
+            at_work_ws_l, on_bus_ws_l = at_work_ws, on_bus_ws
         p_ws = _exposure_p(
             d.exposure_chance, d.mask_effectiveness, state.mask_status,
-            world.ws_mask_compliant, on_bus_ws, cfg.reference_mask_semantics,
+            world.ws_mask_compliant, on_bus_ws_l, cfg.reference_mask_semantics,
         )
-        cur_oa_ws = jnp.where(at_work_ws, world.ws_work_oa, world.ws_home_oa)
+        cur_oa_ws = jnp.where(at_work_ws_l, world.ws_work_oa, world.ws_home_oa)
         q_single = binomial_at_least_one(p_ws, trunc(n_w_ws))
         q_work_ws = jnp.where(
             (cur_oa_ws == world.ws_work_oa) & world.ws_work_neq_home,
@@ -960,19 +1004,27 @@ def fast_step(
             (status, eligible),
         )
 
+    if use_fused and packed_carry:
+        _e = jnp.zeros((0,), jnp.bool_)
+        sched_lanes = dict(
+            at_work=_e, on_bus=_e, bus_to_work=_e,
+            at_work_ws=_e, on_bus_ws=_e, sched=sched1,
+        )
+    else:
+        sched_lanes = dict(
+            at_work=at_work, on_bus=on_bus, bus_to_work=bus_to_work,
+            at_work_ws=at_work_ws, on_bus_ws=on_bus_ws,
+            sched=jnp.zeros((0,), jnp.int8),
+        )
     new_state = SimState(
         status=status,
         timer=timer.astype(TIMER_DTYPE),
-        at_work=at_work,
-        on_bus=on_bus,
-        bus_to_work=bus_to_work,
         eligible=eligible,
-        at_work_ws=at_work_ws,
-        on_bus_ws=on_bus_ws,
+        **sched_lanes,
         status_ws=status_ws1 if rep else state.status_ws,
-        timer_ws=timer_ws1.astype(TIMER_DTYPE) if rep else state.timer_ws,
+        timer_ws=timer_ws1.astype(TIMER_TWIN_DTYPE) if rep else state.timer_ws,
         status_r=status_r1 if rep else state.status_r,
-        timer_r=timer_r1.astype(TIMER_DTYPE) if rep else state.timer_r,
+        timer_r=timer_r1.astype(TIMER_TWIN_DTYPE) if rep else state.timer_r,
         on_bus_r=on_bus_r1 if rep else state.on_bus_r,
         vax_pool=vax_pool if fixed_pri else state.vax_pool,
         vax_pool_size=vax_pool_size if fixed_pri else state.vax_pool_size,

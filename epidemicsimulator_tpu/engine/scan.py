@@ -60,10 +60,22 @@ def make_chunk_runner(world: World, cfg: SimConfig):
             )
 
             fused_statics = None
-            if wants_fused_citizen(world, cfg):
+            fused = wants_fused_citizen(world, cfg)
+            if fused:
                 from ..ops.pallas_citizen import make_citizen_statics
 
                 fused_statics = make_citizen_statics(world)
+                # Scan-internal packed carry: the five schedule bools ride
+                # ONE s8 lane through the kernel (state.py::pack_sched);
+                # pack/unpack cost two fusions per CHUNK, not per step.
+                # Scale-gated: a clear win at UK scale, a small loss in the
+                # Y&H replicated-order regime (docs/PERF.md).
+                from .fastpath import wants_packed_sched
+                from .state import pack_sched, unpack_sched
+
+                packed = wants_packed_sched(world, cfg)
+                if packed:
+                    state = pack_sched(state)
             rider_statics = None
             if wants_replicated(world, cfg, state):
                 rider_statics = make_rider_statics(world)
@@ -85,6 +97,8 @@ def make_chunk_runner(world: World, cfg: SimConfig):
                 return new_state, out
 
             state, outs = jax.lax.scan(body, state, None, length=cfg.chunk_size)
+            if fused and packed:
+                state = unpack_sched(state)
             # Per-OA counts are bounded by OA population (~hundreds); ship
             # them int16 (saturating — only pathological worlds with >32k
             # single-OA exposures per hour would clip) — this (chunk, n_oa)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import MASK_NONE, STATUS_INFECTED, TIMER_DTYPE
+from ..config import MASK_NONE, STATUS_INFECTED, TIMER_DTYPE, TIMER_TWIN_DTYPE
 from ..world.schema import World
 
 
@@ -68,6 +68,62 @@ class SimState:
     # pool halves.  Built the step the program activates.
     vax_pool: Any = None
     vax_pool_size: Any = None
+
+    # packed schedule lane (int8, bits 0-4 = at_work, on_bus, bus_to_work,
+    # at_work_ws, on_bus_ws).  None in the public representation; the fused
+    # chunk runner packs the five bool lanes into this ONE lane for the
+    # duration of its scan (pack_sched/unpack_sched below) so the citizen
+    # kernel moves 1 schedule lane per step instead of 5 and no bool<->s8
+    # boundary conversions run (docs/PERF.md).
+    sched: Any = None
+
+
+_SCHED_LANES = ("at_work", "on_bus", "bus_to_work", "at_work_ws", "on_bus_ws")
+
+
+def sched_packed(state: SimState) -> bool:
+    """Trace-time check: is the packed schedule lane the source of truth?
+    (0,)-shaped sentinels mean 'not packed', matching the codebase's
+    convention for optional lanes."""
+    return (
+        state.sched is not None
+        and state.sched.shape[0] == state.status.shape[0]
+    )
+
+
+def pack_sched(state: SimState) -> SimState:
+    """Scan-internal representation: five schedule bools -> one s8 lane.
+    The bool fields become (0,) sentinels so the carry has a single source
+    of truth.  No-op if already packed."""
+    if sched_packed(state):
+        return state
+    lanes = [jnp.asarray(getattr(state, f), jnp.int8) for f in _SCHED_LANES]
+    sched = lanes[0]
+    for i, lane in enumerate(lanes[1:], start=1):
+        if lane.shape == sched.shape:  # ws twins may be (0,) sentinels
+            sched = sched | (lane << i)
+    empty = jnp.zeros((0,), jnp.bool_)
+    return dataclasses.replace(
+        state, sched=sched,
+        **{f: empty for f in _SCHED_LANES},
+    )
+
+
+def unpack_sched(state: SimState, *, ws_present: bool = True) -> SimState:
+    """Inverse of pack_sched (public bool-lane representation)."""
+    if not sched_packed(state):
+        return state
+    s = state.sched
+    empty = jnp.zeros((0,), jnp.bool_)
+    return dataclasses.replace(
+        state,
+        at_work=(s & 1) != 0,
+        on_bus=(s & 2) != 0,
+        bus_to_work=(s & 4) != 0,
+        at_work_ws=((s & 8) != 0) if ws_present else empty,
+        on_bus_ws=((s & 16) != 0) if ws_present else empty,
+        sched=jnp.zeros((0,), jnp.int8),
+    )
 
 
 def with_status(state: SimState, world: World, status) -> SimState:
@@ -144,12 +200,13 @@ def init_state(
         on_bus=jnp.zeros(n, jnp.bool_),
         bus_to_work=jnp.zeros(n, jnp.bool_),
         eligible=jnp.zeros(n, jnp.bool_),
+        sched=jnp.zeros((0,), jnp.int8),
         at_work_ws=jnp.zeros(n_ws, jnp.bool_),
         on_bus_ws=jnp.zeros(n_ws, jnp.bool_),
         status_ws=jnp.asarray(status_ws),
-        timer_ws=jnp.zeros(n_ws, TIMER_DTYPE),
+        timer_ws=jnp.zeros(n_ws, TIMER_TWIN_DTYPE),
         status_r=jnp.asarray(status_r),
-        timer_r=jnp.zeros(n_r, TIMER_DTYPE),
+        timer_r=jnp.zeros(n_r, TIMER_TWIN_DTYPE),
         on_bus_r=jnp.zeros(n_r, jnp.bool_),
         vax_pool=jnp.zeros(n if fixed_priority_vax else 0, jnp.int32),
         vax_pool_size=jnp.zeros((), jnp.int32),

@@ -426,6 +426,7 @@ def step(
         eligible=eligible,
         at_work_ws=state.at_work_ws,
         on_bus_ws=state.on_bus_ws,
+        sched=state.sched,
         # replicated-order twins are not evolved by the portable step —
         # carried through untouched for pytree stability (they are only
         # read by the replicated fast path, which never mixes with this

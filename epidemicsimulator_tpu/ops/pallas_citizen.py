@@ -108,18 +108,28 @@ def _movement(h24, move, ws, we, uses, at_work8, on_bus8):
     return at_work1, on_bus1, arm_bus_out
 
 
-# halo-extended lanes, in kernel argument order
+# halo-extended lanes, in kernel argument order.  The five schedule bools
+# (at_work, on_bus, bus_to_work, at_work_ws, on_bus_ws) ride PACKED in one
+# s8 "sched" lane (bits 0-4, engine/state.py::pack_sched): 4 fewer 63M
+# lanes in and out of the kernel per step, and no bool<->s8 boundary
+# conversions (docs/PERF.md xplane decomposition).
 _EXT_LANES = (
-    "status", "timer", "at_work", "on_bus",
+    "status", "timer", "sched",
     "work_start", "work_end", "uses_transport", "work_neq_home",
     "hh_pos", "hh_size",
 )
 # center-only lanes
 _CTR_LANES = (
-    "bus_to_work", "at_work_ws", "on_bus_ws",
     "mask_compliant", "same_oa",
     "ws_work_start", "ws_work_end", "ws_uses_transport",
 )
+
+# sched bit assignments (must match engine/state.py)
+SCHED_AT_WORK = 1
+SCHED_ON_BUS = 2
+SCHED_BUS_TO_WORK = 4
+SCHED_AT_WORK_WS = 8
+SCHED_ON_BUS_WS = 16
 
 
 def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, refs):
@@ -140,14 +150,15 @@ def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, refs):
 
     status = ext(0).astype(jnp.int32)
     timer = ext(1)
-    at_work8 = ext(2).astype(jnp.int32)
-    on_bus8 = ext(3).astype(jnp.int32)
-    ws = ext(4).astype(jnp.int32)
-    we = ext(5).astype(jnp.int32)
-    uses = ext(6).astype(jnp.int32) != 0
-    wneq = ext(7).astype(jnp.int32) != 0
-    pos = ext(8).astype(jnp.int32)
-    size = ext(9).astype(jnp.int32)
+    sched = ext(2).astype(jnp.int32)
+    at_work8 = sched & 1
+    on_bus8 = (sched >> 1) & 1
+    ws = ext(3).astype(jnp.int32)
+    we = ext(4).astype(jnp.int32)
+    uses = ext(5).astype(jnp.int32) != 0
+    wneq = ext(6).astype(jnp.int32) != 0
+    pos = ext(7).astype(jnp.int32)
+    size = ext(8).astype(jnp.int32)
 
     # 1. disease timers (disease.rs:47-71)
     is_e = status == 1
@@ -194,14 +205,15 @@ def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, refs):
     wneq_c = ctr_slice(wneq)
     n_h = ctr_slice(acc)
     arm_bus_out_c = ctr_slice(arm_bus_out)
-    btw8 = ctr[0][:].astype(jnp.int32)
-    at_work_ws8 = ctr[1][:].astype(jnp.int32)
-    on_bus_ws8 = ctr[2][:].astype(jnp.int32)
-    compliant = ctr[3][:].astype(jnp.int32) != 0
-    same_oa = ctr[4][:].astype(jnp.int32) != 0
-    ws_ws = ctr[5][:].astype(jnp.int32)
-    ws_we = ctr[6][:].astype(jnp.int32)
-    ws_uses = ctr[7][:].astype(jnp.int32) != 0
+    sched_c = ctr_slice(sched)
+    btw8 = (sched_c >> 2) & 1
+    at_work_ws8 = (sched_c >> 3) & 1
+    on_bus_ws8 = (sched_c >> 4) & 1
+    compliant = ctr[0][:].astype(jnp.int32) != 0
+    same_oa = ctr[1][:].astype(jnp.int32) != 0
+    ws_ws = ctr[2][:].astype(jnp.int32)
+    ws_we = ctr[3][:].astype(jnp.int32)
+    ws_uses = ctr[4][:].astype(jnp.int32) != 0
 
     btw1_8 = jnp.where(
         move, jnp.where(arm_bus_out_c, jnp.int32(1), jnp.int32(0)), btw8
@@ -256,14 +268,14 @@ def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, refs):
     # ragged block reads garbage rows past the array edge)
     valid = flat < n_real
     for s in range(5):
-        outs[10][b, s] = jnp.sum((valid & (status1_c == s)).astype(jnp.int32))
-    outs[10][b, 5] = jnp.sum((valid & contrib_work).astype(jnp.int32))
+        outs[6][b, s] = jnp.sum((valid & (status1_c == s)).astype(jnp.int32))
+    outs[6][b, 5] = jnp.sum((valid & contrib_work).astype(jnp.int32))
     # bus gate counts riders who are INFECTED: hours with riders but no
     # infectious rider are exposure no-ops and the cond skips them
-    outs[10][b, 6] = jnp.sum(
+    outs[6][b, 6] = jnp.sum(
         (valid & on_bus1_c & (status1_c == 2)).astype(jnp.int32)
     )
-    outs[10][b, 7] = 0
+    outs[6][b, 7] = 0
 
     outs[0][:] = status1_c.astype(jnp.int8)
     outs[1][:] = timer1_c  # int32 end to end: s16 2D lanes hit a
@@ -271,14 +283,13 @@ def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, refs):
     # measured), and an s16 STATE lane forced two 63M convert passes per
     # step at the 1D boundary (~1.0 ms/step) — so the timer lane is
     # stored TIMER_DTYPE=int32 everywhere (config.py)
-    outs[2][:] = at_work1_c8.astype(jnp.int8)
-    outs[3][:] = on_bus1_c8.astype(jnp.int8)
-    outs[4][:] = btw1_8.astype(jnp.int8)
-    outs[5][:] = at_work_ws1_8.astype(jnp.int8)
-    outs[6][:] = on_bus_ws1_8.astype(jnp.int8)
-    outs[7][:] = hit_home.astype(jnp.int8)
-    outs[8][:] = fwd_packed.astype(jnp.int8)
-    outs[9][:] = packed_bus.astype(jnp.int8)
+    outs[2][:] = (
+        at_work1_c8 | (on_bus1_c8 << 1) | (btw1_8 << 2)
+        | (at_work_ws1_8 << 3) | (on_bus_ws1_8 << 4)
+    ).astype(jnp.int8)
+    outs[3][:] = hit_home.astype(jnp.int8)
+    outs[4][:] = fwd_packed.astype(jnp.int8)
+    outs[5][:] = packed_bus.astype(jnp.int8)
 
 
 def _kernel_entry(K, ref_mask_sem, u8_trunc, n_real, block_rows, *refs):
@@ -306,18 +317,20 @@ def _kernel_entry(K, ref_mask_sem, u8_trunc, n_real, block_rows, *refs):
 )
 def citizen_phase(
     statics: CitizenStatics,
-    status, timer, at_work, on_bus, bus_to_work, at_work_ws, on_bus_ws,
+    status, timer, sched,
     int_scalars, f32_scalars,
     *, K, ref_mask_sem, u8_trunc, block_rows=512, interpret=False,
 ):
-    """Run the fused citizen phase.  Dynamic lanes are (N,) arrays; scalar
-    vectors are int32 (8,) [h24, move, mask_status, seed, exposed_time,
-    infected_time, 0, 0] and f32 (2,) [exposure_chance, 1-mask_eff].
+    """Run the fused citizen phase.  Dynamic lanes are (N,) arrays —
+    ``sched`` carries the five schedule bools packed s8 (bits 0-4:
+    at_work, on_bus, bus_to_work, at_work_ws, on_bus_ws; see
+    engine/state.py::pack_sched); scalar vectors are int32 (8,) [h24,
+    move, mask_status, seed, exposed_time, infected_time, 0, 0] and f32
+    (2,) [exposure_chance, 1-mask_eff].
 
-    Returns (status1, timer1, at_work1, on_bus1, bus_to_work1, at_work_ws1,
-    on_bus_ws1, hit_home, fwd_packed, packed_bus, partials) with lanes (N,)
-    and partials (n_blocks, 8) int32:
-    [S, E, I, R, V, any_contrib_work, any_on_bus, 0] per block.
+    Returns (status1, timer1, sched1, hit_home, fwd_packed, packed_bus,
+    partials) with lanes (N,) and partials (n_blocks, 8) int32:
+    [S, E, I, R, V, any_contrib_work, any_infected_on_bus, 0] per block.
     """
     n = status.shape[0]
     rows = pl.cdiv(n, LANES)
@@ -326,20 +339,17 @@ def citizen_phase(
     units_per_block = block_rows // HALO
 
     pr = functools.partial(_pad_rows, rows=rows)
-    i8 = lambda x: jnp.asarray(x, jnp.int8)
     dyn = (
         pr(status, fill=5),  # pad status 5: outside every census/mask
         pr(jnp.asarray(timer, jnp.int32)),
-        pr(i8(at_work)), pr(i8(on_bus)), pr(i8(bus_to_work)),
-        pr(i8(at_work_ws)), pr(i8(on_bus_ws)),
+        pr(jnp.asarray(sched, jnp.int8)),
     )
     ext_arrays = [
-        dyn[0], dyn[1], dyn[2], dyn[3],
+        dyn[0], dyn[1], dyn[2],
         statics.work_start, statics.work_end, statics.uses_transport,
         statics.work_neq_home, statics.hh_pos, statics.hh_size,
     ]
     ctr_arrays = [
-        dyn[4], dyn[5], dyn[6],
         statics.mask_compliant, statics.same_oa,
         statics.ws_work_start, statics.ws_work_end,
         statics.ws_uses_transport,
@@ -371,17 +381,13 @@ def citizen_phase(
     out_shapes = [
         jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # status
         jax.ShapeDtypeStruct(lane_shape, jnp.int32),   # timer
-        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # at_work
-        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # on_bus
-        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # bus_to_work
-        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # at_work_ws
-        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # on_bus_ws
+        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # sched (packed)
         jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # hit_home
         jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # fwd_packed
         jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # packed_bus
         jax.ShapeDtypeStruct((n_blocks, 8), jnp.int32),
     ]
-    out_specs = [main] * 10 + [part]
+    out_specs = [main] * 6 + [part]
 
     kern = functools.partial(
         _kernel_entry, K, ref_mask_sem, u8_trunc, n, block_rows
@@ -409,8 +415,7 @@ def citizen_phase(
         int_scalars.reshape(8, 1), f32_scalars.reshape(2, 1),
         *ext_arrays, *ext_arrays, *ext_arrays, *ctr_arrays,
     )
-    lanes = [r.reshape(-1)[:n] for r in res[:10]]
+    lanes = [r.reshape(-1)[:n] for r in res[:6]]
     lanes[1] = lanes[1].astype(TIMER_DTYPE)
-    for i in range(2, 8):  # boolean lanes ride int8 through Mosaic
-        lanes[i] = lanes[i].astype(jnp.bool_)
-    return tuple(lanes) + (res[10],)
+    lanes[3] = lanes[3].astype(jnp.bool_)  # hit_home (consumed by apply)
+    return tuple(lanes) + (res[6],)

@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import (
     TIMER_DTYPE,
+    TIMER_TWIN_DTYPE,
     MASK_EVERYWHERE,
     MASK_NONE,
     MASK_PUBLIC_TRANSPORT,
@@ -326,6 +327,7 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
         eligible=eligible,
         at_work_ws=state.at_work_ws,
         on_bus_ws=state.on_bus_ws,
+        sched=state.sched,
         status_ws=state.status_ws,
         timer_ws=state.timer_ws,
         status_r=state.status_r,
@@ -371,9 +373,9 @@ def init_sharded_state(world, sw: ShardedWorld, *, seed=0, starting_infected=10)
         on_bus_ws=jnp.zeros((0,), bool),
         # replicated-order twins don't exist in the sharded formulation
         status_ws=jnp.zeros((0,), jnp.int8),
-        timer_ws=jnp.zeros((0,), TIMER_DTYPE),
+        timer_ws=jnp.zeros((0,), TIMER_TWIN_DTYPE),
         status_r=jnp.zeros((0,), jnp.int8),
-        timer_r=jnp.zeros((0,), TIMER_DTYPE),
+        timer_r=jnp.zeros((0,), TIMER_TWIN_DTYPE),
         on_bus_r=jnp.zeros((0,), bool),
         vax_pool=jnp.zeros((0,), jnp.int32),
         vax_pool_size=jnp.zeros((), jnp.int32),
@@ -384,7 +386,7 @@ def make_fast_sharded_runner(sw: ShardedWorld, cfg: SimConfig, mesh: Mesh):
     """jitted chunk(sw, params, state) over the partitioned world."""
     lane_fields = {
         "status", "timer", "at_work", "on_bus", "bus_to_work", "eligible",
-        "at_work_ws", "on_bus_ws",
+        "at_work_ws", "on_bus_ws", "sched",
     }
     s_specs = SimState(
         **{

@@ -105,7 +105,7 @@ def _world_specs(world: World) -> World:
 def _state_specs(state: SimState) -> SimState:
     lane_fields = {
         "status", "timer", "at_work", "on_bus", "bus_to_work", "eligible",
-        "at_work_ws", "on_bus_ws",
+        "at_work_ws", "on_bus_ws", "sched",
     }
     return SimState(
         **{
