@@ -117,3 +117,36 @@ def test_fused_stochastic_epidemic_grows_comparably():
     assert totals[True] > 60 and totals[False] > 60, totals
     ratio = totals[True] / max(totals[False], 1)
     assert 1 / 3 < ratio < 3, totals
+
+
+def test_packed_sched_carry_bitwise_matches_unpacked():
+    """The packed schedule carry (SimConfig.use_packed_sched; one s8 lane
+    through the scan, engine/state.py::pack_sched) must be bitwise-identical
+    to the unpacked bool-lane carry — same kernel, same draws, only the
+    carry representation differs.  Runs the interpreted fused kernel on a
+    small world via the real chunk runner."""
+    from epidemicsimulator_tpu.engine.scan import make_chunk_runner
+
+    world = generate_synthetic_world(12_000, n_output_areas=8, seed=3)
+    wd = world.device_put()
+    params = Params.covid().as_arrays()
+    results = {}
+    for packed in (False, True):
+        cfg = SimConfig(
+            max_steps=72, chunk_size=24,
+            use_fused_citizen=True, use_pallas_scans=False,
+            use_packed_sched=packed,
+        )
+        st = init_state(wd, seed=5, starting_infected=40)
+        fn = make_chunk_runner(wd, cfg)
+        outs = []
+        for _ in range(3):
+            st, out = fn(params, st)
+            outs.append(np.asarray(out.seirv))
+        results[packed] = (np.concatenate(outs), np.asarray(st.status),
+                          np.asarray(st.timer))
+        # the runner must hand back the PUBLIC (unpacked) representation
+        assert st.sched is None or st.sched.shape[0] == 0
+        assert st.at_work.shape[0] == world.n_citizens
+    for a, b in zip(results[False], results[True]):
+        np.testing.assert_array_equal(a, b)
