@@ -278,28 +278,37 @@ def fast_step(
             u8_trunc=cfg.reference_u8_truncation,
             block_rows=cfg.fused_block_rows,
             interpret=jax.default_backend() != "tpu",
+            n_citizens=n,
         )
+        # status/timer/sched1 may be (rows, 128) tiles (the packed-2D scan
+        # carry, state.py::to_2d_carry) — every elementwise consumer below
+        # is shape-agnostic; the few 1D interactions flatten explicitly.
+        packed2d = getattr(status, "ndim", 1) == 2
         seirv0 = jnp.sum(partials[:, :5], axis=0)
-        susceptible = status == STATUS_SUSCEPTIBLE
         work_pred_default = jnp.sum(partials[:, 5]) > 0
         bus_pred_default = jnp.sum(partials[:, 6]) > 0
         timer = jnp.asarray(timer, jnp.int32)
+
+        def _sched_flat():
+            return sched1.reshape(-1)[:n] if packed2d else sched1
+
         # Unpacked views: materialised ONLY where eagerly needed (the
         # replicated engine / legacy bool-lane carry); the gated work/bus
         # branches unpack inside their cond bodies so the bits never
         # materialise on skipped steps.
         if rep_needed := wants_replicated(world, cfg, state):
-            at_work_ws = (sched1 & 8) != 0
-            on_bus_ws = (sched1 & 16) != 0
+            at_work_ws = (_sched_flat() & 8) != 0
+            on_bus_ws = (_sched_flat() & 16) != 0
         if not packed_carry:
-            at_work = (sched1 & 1) != 0
-            on_bus = (sched1 & 2) != 0
-            bus_to_work = (sched1 & 4) != 0
+            at_work = (_sched_flat() & 1) != 0
+            on_bus = (_sched_flat() & 2) != 0
+            bus_to_work = (_sched_flat() & 4) != 0
             if not rep_needed:
-                at_work_ws = (sched1 & 8) != 0
-                on_bus_ws = (sched1 & 16) != 0
+                at_work_ws = (_sched_flat() & 8) != 0
+                on_bus_ws = (_sched_flat() & 16) != 0
     else:
         packed_carry = False
+        packed2d = False
         from .state import sched_packed, unpack_sched
 
         if sched_packed(state):  # packed carry reached a non-fused step
@@ -483,8 +492,8 @@ def fast_step(
         # schedule bits unpack INSIDE the branch (fused mode) so the lanes
         # never materialise on steps where the cond is skipped
         if use_fused:
-            at_work_ws_l = (sched1 & 8) != 0
-            on_bus_ws_l = (sched1 & 16) != 0
+            at_work_ws_l = (_sched_flat() & 8) != 0
+            on_bus_ws_l = (_sched_flat() & 16) != 0
         else:
             at_work_ws_l, on_bus_ws_l = at_work_ws, on_bus_ws
         p_ws = _exposure_p(
@@ -705,8 +714,24 @@ def fast_step(
 
     # 9. combine + bookkeeping (statistics.rs:181-195, 275-287)
     newly_exposed = hit_home | hit_work | hit_bus
-    status = jnp.where(newly_exposed, jnp.int8(STATUS_EXPOSED), status)
-    timer = jnp.where(newly_exposed, 0, timer)
+    if use_fused and packed2d:
+        # status/timer are (rows, 128) tiles; lift the hit lane once
+        # (pad rows are never exposed: pad status is 5)
+        rows2d = status.shape[0]
+
+        def _lift2d(x, fill=False):
+            pad = rows2d * 128 - n
+            if pad:
+                x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+            return x.reshape(rows2d, 128)
+
+        newly2d = _lift2d(newly_exposed)
+        status = jnp.where(newly2d, jnp.int8(STATUS_EXPOSED), status)
+        timer = jnp.where(newly2d, 0, timer)
+    else:
+        _lift2d = None
+        status = jnp.where(newly_exposed, jnp.int8(STATUS_EXPOSED), status)
+        timer = jnp.where(newly_exposed, 0, timer)
     if rep:
         newly_ws = hh_ws | hit_work_ws_lane | hit_bus_ws
         status_ws1 = jnp.where(newly_ws, jnp.int8(STATUS_EXPOSED), status_ws1)
@@ -782,7 +807,10 @@ def fast_step(
         ~state.vaccination_started & (th.vaccination >= 0) & (th.vaccination < pct)
     )
     vaccination_started = state.vaccination_started | newly_started
-    eligible = jnp.where(newly_started, status == STATUS_SUSCEPTIBLE, eligible)
+    _sus = status == STATUS_SUSCEPTIBLE
+    if _lift2d is not None:
+        _sus = _sus.reshape(-1)[:n]
+    eligible = jnp.where(newly_started, _sus, eligible)
 
     ms = state.mask_status
     ms_next = jnp.where(
@@ -934,6 +962,8 @@ def fast_step(
             chosen = fresh_threshold(seed_vax0)
 
         def apply(chosen_lane, status_lane):
+            if _lift2d is not None and getattr(status_lane, "ndim", 1) == 2:
+                chosen_lane = _lift2d(chosen_lane)
             new = jnp.where(
                 chosen_lane, jnp.int8(STATUS_VACCINATED), status_lane
             )

@@ -71,11 +71,16 @@ def make_chunk_runner(world: World, cfg: SimConfig):
                 # Scale-gated: a clear win at UK scale, a small loss in the
                 # Y&H replicated-order regime (docs/PERF.md).
                 from .fastpath import wants_packed_sched
-                from .state import pack_sched, unpack_sched
+                from .state import (
+                    from_2d_carry,
+                    pack_sched,
+                    to_2d_carry,
+                    unpack_sched,
+                )
 
                 packed = wants_packed_sched(world, cfg)
                 if packed:
-                    state = pack_sched(state)
+                    state = to_2d_carry(pack_sched(state))
             rider_statics = None
             if wants_replicated(world, cfg, state):
                 rider_statics = make_rider_statics(world)
@@ -98,7 +103,7 @@ def make_chunk_runner(world: World, cfg: SimConfig):
 
             state, outs = jax.lax.scan(body, state, None, length=cfg.chunk_size)
             if fused and packed:
-                state = unpack_sched(state)
+                state = unpack_sched(from_2d_carry(state, world.n_citizens))
             # Per-OA counts are bounded by OA population (~hundreds); ship
             # them int16 (saturating — only pathological worlds with >32k
             # single-OA exposures per hour would clip) — this (chunk, n_oa)

@@ -312,7 +312,8 @@ def _kernel_entry(K, ref_mask_sem, u8_trunc, n_real, block_rows, *refs):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "K", "ref_mask_sem", "u8_trunc", "block_rows", "interpret"
+        "K", "ref_mask_sem", "u8_trunc", "block_rows", "interpret",
+        "n_citizens",
     ),
 )
 def citizen_phase(
@@ -320,6 +321,7 @@ def citizen_phase(
     status, timer, sched,
     int_scalars, f32_scalars,
     *, K, ref_mask_sem, u8_trunc, block_rows=512, interpret=False,
+    n_citizens=None,
 ):
     """Run the fused citizen phase.  Dynamic lanes are (N,) arrays —
     ``sched`` carries the five schedule bools packed s8 (bits 0-4:
@@ -331,19 +333,38 @@ def citizen_phase(
     Returns (status1, timer1, sched1, hit_home, fwd_packed, packed_bus,
     partials) with lanes (N,) and partials (n_blocks, 8) int32:
     [S, E, I, R, V, any_contrib_work, any_infected_on_bus, 0] per block.
+
+    status/timer/sched may arrive ALREADY tiled (rows, 128) (the packed-2D
+    scan carry, engine/state.py::to_2d_carry) — then they are consumed
+    without per-step pad/reshape passes and returned (rows, 128) too;
+    ``n_citizens`` must give the true population for the flat outputs.
     """
-    n = status.shape[0]
-    rows = pl.cdiv(n, LANES)
+    two_d = getattr(status, "ndim", 1) == 2
+    if two_d:
+        if n_citizens is None:
+            raise ValueError("n_citizens required for 2D-tiled inputs")
+        n = n_citizens
+        rows = status.shape[0]
+    else:
+        n = status.shape[0]
+        rows = pl.cdiv(n, LANES)
     n_blocks = pl.cdiv(rows, block_rows)
     halo_units = pl.cdiv(rows, HALO)
     units_per_block = block_rows // HALO
 
     pr = functools.partial(_pad_rows, rows=rows)
-    dyn = (
-        pr(status, fill=5),  # pad status 5: outside every census/mask
-        pr(jnp.asarray(timer, jnp.int32)),
-        pr(jnp.asarray(sched, jnp.int8)),
-    )
+    if two_d:
+        dyn = (
+            status,
+            jnp.asarray(timer, jnp.int32),
+            jnp.asarray(sched, jnp.int8),
+        )
+    else:
+        dyn = (
+            pr(status, fill=5),  # pad status 5: outside every census/mask
+            pr(jnp.asarray(timer, jnp.int32)),
+            pr(jnp.asarray(sched, jnp.int8)),
+        )
     ext_arrays = [
         dyn[0], dyn[1], dyn[2],
         statics.work_start, statics.work_end, statics.uses_transport,
@@ -415,6 +436,15 @@ def citizen_phase(
         int_scalars.reshape(8, 1), f32_scalars.reshape(2, 1),
         *ext_arrays, *ext_arrays, *ext_arrays, *ctr_arrays,
     )
+    if two_d:
+        # status/timer/sched stay tiled for the 2D carry; the per-citizen
+        # cond/apply operands flatten to the true population.
+        flat = lambda r: r.reshape(-1)[:n]
+        return (
+            res[0], res[1].astype(TIMER_DTYPE), res[2],
+            flat(res[3]).astype(jnp.bool_), flat(res[4]), flat(res[5]),
+            res[6],
+        )
     lanes = [r.reshape(-1)[:n] for r in res[:6]]
     lanes[1] = lanes[1].astype(TIMER_DTYPE)
     lanes[3] = lanes[3].astype(jnp.bool_)  # hit_home (consumed by apply)
