@@ -92,16 +92,27 @@ def make_chunk_runner(world: World, cfg: SimConfig):
                     for g in cfg.debug_force_gates
                 )
 
+            # The PRNG key is loop-INVARIANT (every step folds the hour
+            # into it afresh), but a scan carry leaf gets memory-space
+            # round-trip copies every iteration (xplane: paired u32[2]
+            # copy-starts, ~0.5 ms/step of latency-bound DMA at Y&H).
+            # Closing over it makes it a hoisted while-loop operand.
+            import dataclasses as _dc
+
+            base_key = state.rng_key
+            state = _dc.replace(state, rng_key=None)
+
             def body(carry, _):
                 new_state, out = step(
-                    world, params, cfg, carry,
+                    world, params, cfg, _dc.replace(carry, rng_key=base_key),
                     fused_statics=fused_statics,
                     rider_statics=rider_statics,
                     gate_overrides=gate_overrides,
                 )
-                return new_state, out
+                return _dc.replace(new_state, rng_key=None), out
 
             state, outs = jax.lax.scan(body, state, None, length=cfg.chunk_size)
+            state = _dc.replace(state, rng_key=base_key)
             if fused and packed:
                 state = unpack_sched(from_2d_carry(state, world.n_citizens))
             # Per-OA counts are bounded by OA population (~hundreds); ship
