@@ -79,14 +79,25 @@ def make_ensemble_runner(world: World, cfg: SimConfig):
         )
 
         def chunk(world, work_mask, bus_mask, params, state):
+            # Loop-invariant PRNG keys hoisted out of the carry (see
+            # engine/scan.py — carried key leaves pay per-iteration
+            # memory-space copies).
+            base_keys = state.rng_key
+            state = dataclasses.replace(state, rng_key=None)
+
             def body(carry, _):
                 h24 = (carry.hour[0] + 1) % 24
                 work_pred = work_mask[h24] | jnp.any(carry.at_work)
                 bus_pred = bus_mask[h24] | jnp.any(carry.on_bus)
-                ns, seirv = one(world, params, carry, work_pred, bus_pred)
-                return ns, seirv
+                ns, seirv = one(
+                    world, params,
+                    dataclasses.replace(carry, rng_key=base_keys),
+                    work_pred, bus_pred,
+                )
+                return dataclasses.replace(ns, rng_key=None), seirv
 
             ns, seirv_t = jax.lax.scan(body, state, None, length=cfg.chunk_size)
+            ns = dataclasses.replace(ns, rng_key=base_keys)
             # scan stacks over time: (chunk, R, 5) -> (R, chunk, 5)
             return ns, jnp.transpose(seirv_t, (1, 0, 2))
 

@@ -109,9 +109,28 @@ def make_chunk_runner(world: World, cfg: SimConfig):
                     rider_statics=rider_statics,
                     gate_overrides=gate_overrides,
                 )
-                return _dc.replace(new_state, rng_key=None), out
+                # One (10,) vector instead of six tiny per-step output
+                # leaves: each stacked leaf pays its own per-iteration
+                # store/copy (xplane: paired s32[5] copy-starts, ~0.6
+                # ms/step at 63M); split back OUTSIDE the loop below.
+                small = jnp.concatenate([
+                    out.seirv.astype(jnp.int32),
+                    jnp.stack([
+                        out.n_bus_exposures.astype(jnp.int32),
+                        out.n_exposures.astype(jnp.int32),
+                        out.lockdown.astype(jnp.int32),
+                        out.mask_status.astype(jnp.int32),
+                        out.n_vaccinated_now.astype(jnp.int32),
+                    ]),
+                ])
+                return (
+                    _dc.replace(new_state, rng_key=None),
+                    (small, out.exposures_per_oa),
+                )
 
-            state, outs = jax.lax.scan(body, state, None, length=cfg.chunk_size)
+            state, (small_t, oa_t) = jax.lax.scan(
+                body, state, None, length=cfg.chunk_size
+            )
             state = _dc.replace(state, rng_key=base_key)
             if fused and packed:
                 state = unpack_sched(from_2d_carry(state, world.n_citizens))
@@ -120,10 +139,14 @@ def make_chunk_runner(world: World, cfg: SimConfig):
             # single-OA exposures per hour would clip) — this (chunk, n_oa)
             # buffer dominates the device->host transfer through the
             # ~34 MB/s tunnel.
-            outs = outs._replace(
-                exposures_per_oa=jnp.minimum(
-                    outs.exposures_per_oa, 32767
-                ).astype(jnp.int16)
+            outs = StepOutput(
+                seirv=small_t[:, :5],
+                exposures_per_oa=jnp.minimum(oa_t, 32767).astype(jnp.int16),
+                n_bus_exposures=small_t[:, 5],
+                n_exposures=small_t[:, 6],
+                lockdown=small_t[:, 7].astype(jnp.bool_),
+                mask_status=small_t[:, 8].astype(jnp.int8),
+                n_vaccinated_now=small_t[:, 9],
             )
             return state, outs
 
