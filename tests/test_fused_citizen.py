@@ -150,3 +150,42 @@ def test_packed_sched_carry_bitwise_matches_unpacked():
         assert st.at_work.shape[0] == world.n_citizens
     for a, b in zip(results[False], results[True]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_chunk_runner_matches_raw_steps():
+    """The chunk runner's scan plumbing (packed carry, hoisted PRNG key,
+    packed per-step outputs) must reproduce raw per-step `step()` calls
+    bitwise: same seirv series, same final state lanes."""
+    from epidemicsimulator_tpu.engine.scan import make_chunk_runner
+
+    world = generate_synthetic_world(9_000, n_output_areas=6, seed=4)
+    wd = world.device_put()
+    params = Params.covid().as_arrays()
+    cfg = SimConfig(
+        max_steps=48, chunk_size=24,
+        use_fused_citizen=True, use_pallas_scans=False,
+        use_packed_sched=True,
+    )
+
+    st = init_state(wd, seed=9, starting_infected=30)
+    fn = make_chunk_runner(wd, cfg)
+    seirv_chunks = []
+    for _ in range(2):
+        st, out = fn(params, st)
+        seirv_chunks.append(np.asarray(out.seirv))
+    seirv_runner = np.concatenate(seirv_chunks)
+
+    st2 = init_state(wd, seed=9, starting_infected=30)
+    jstep = jax.jit(lambda w, p, s: step(w, p, cfg, s))
+    seirv_raw = []
+    for _ in range(48):
+        st2, out2 = jstep(wd, params, st2)
+        seirv_raw.append(np.asarray(out2.seirv))
+    seirv_raw = np.stack(seirv_raw)
+
+    np.testing.assert_array_equal(seirv_runner, seirv_raw)
+    np.testing.assert_array_equal(np.asarray(st.status), np.asarray(st2.status))
+    np.testing.assert_array_equal(np.asarray(st.timer), np.asarray(st2.timer))
+    np.testing.assert_array_equal(
+        np.asarray(st.at_work), np.asarray(st2.at_work)
+    )
