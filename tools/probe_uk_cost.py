@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--n", type=int, default=63_000_000)
     ap.add_argument("--oas", type=int, default=227_759)
     ap.add_argument("--chunk", type=int, default=24)
+    ap.add_argument("--block-rows", type=int, default=None,
+                    help="override SimConfig.fused_block_rows")
     args = ap.parse_args()
 
     from epidemicsimulator_tpu.utils import enable_compilation_cache
@@ -54,9 +56,12 @@ def main():
         dataclasses.replace(novax.thresholds, vaccination=2.0),
     ).as_arrays()
 
+    extra = {}
+    if args.block_rows:
+        extra["fused_block_rows"] = args.block_rows
     cfg = SimConfig(
         max_steps=args.chunk * 6, chunk_size=args.chunk,
-        record_exposures_per_oa=False,
+        record_exposures_per_oa=False, **extra,
     )
     seed_inf = max(1, round(args.n * 20_000 / 3_457_142))
     state = init_state(world, seed=0, starting_infected=seed_inf)
