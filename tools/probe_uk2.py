@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--oas", type=int, default=227_759)
     ap.add_argument("--chunk", type=int, default=24)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated variant names to run")
     args = ap.parse_args()
 
     from epidemicsimulator_tpu.utils import enable_compilation_cache
@@ -72,6 +74,9 @@ def main():
         ("vax-pool", base, dict(vaccination_fixed_priority=True)),
     ]
 
+    if args.only:
+        keep = set(args.only.split(","))
+        variants = [v for v in variants if v[0] in keep]
     for name, params, opts in variants:
         cfg = SimConfig(
             max_steps=args.chunk * (args.reps + 2),
