@@ -268,7 +268,7 @@ def fast_step(
 
         packed_carry = sched_packed(state)
         sched_in = state.sched if packed_carry else pack_sched(state).sched
-        (status, timer, sched1, hit_home, fwd_packed, packed_bus,
+        (status, timer, sched1, fwd_packed, packed_bus,
          partials) = citizen_phase(
             statics,
             state.status, state.timer, sched_in,
@@ -283,6 +283,10 @@ def fast_step(
         # status/timer/sched1 may be (rows, 128) tiles (the packed-2D scan
         # carry, state.py::to_2d_carry) — every elementwise consumer below
         # is shape-agnostic; the few 1D interactions flatten explicitly.
+        # The kernel already folded this step's home hits into status/timer;
+        # hit_home survives as bit 2 of fwd_packed (the dense re-apply below
+        # is idempotent, so both apply modes are bitwise-identical).
+        hit_home = (fwd_packed & 4) != 0
         packed2d = getattr(status, "ndim", 1) == 2
         seirv0 = jnp.sum(partials[:, :5], axis=0)
         work_pred_default = jnp.sum(partials[:, 5]) > 0

@@ -265,21 +265,29 @@ def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, refs):
     )
 
     # 3/8. per-block census + gate partials (valid elements only — the final
-    # ragged block reads garbage rows past the array edge)
+    # ragged block reads garbage rows past the array edge).  The census is
+    # PRE-exposure (simulator.rs:178): it reads status1_c before the home
+    # hits are folded in below.
     valid = flat < n_real
     for s in range(5):
-        outs[6][b, s] = jnp.sum((valid & (status1_c == s)).astype(jnp.int32))
-    outs[6][b, 5] = jnp.sum((valid & contrib_work).astype(jnp.int32))
+        outs[5][b, s] = jnp.sum((valid & (status1_c == s)).astype(jnp.int32))
+    outs[5][b, 5] = jnp.sum((valid & contrib_work).astype(jnp.int32))
     # bus gate counts riders who are INFECTED: hours with riders but no
     # infectious rider are exposure no-ops and the cond skips them
-    outs[6][b, 6] = jnp.sum(
+    outs[5][b, 6] = jnp.sum(
         (valid & on_bus1_c & (status1_c == 2)).astype(jnp.int32)
     )
-    outs[6][b, 7] = 0
+    outs[5][b, 7] = jnp.sum((valid & hit_home).astype(jnp.int32))
 
-    outs[0][:] = status1_c.astype(jnp.int8)
-    outs[1][:] = timer1_c  # int32 end to end: s16 2D lanes hit a
-    # pathological tiled-slice path on this backend (~1.9ms/step
+    # Home hits are applied HERE (citizen.rs:221-248 end state) so the apply
+    # stage outside never touches the full lanes for them; work/bus hits —
+    # the gated, typically tiny remainder — are set outside (densely, or as
+    # K-bounded scatters under SimConfig.use_sparse_apply).  The dense
+    # outside re-apply of hit_home (via fwd_packed bit 2) is idempotent, so
+    # both apply modes stay bitwise-identical.
+    outs[0][:] = jnp.where(hit_home, jnp.int32(1), status1_c).astype(jnp.int8)
+    outs[1][:] = jnp.where(hit_home, 0, timer1_c)  # int32 end to end: s16 2D
+    # lanes hit a pathological tiled-slice path on this backend (~1.9ms/step
     # measured), and an s16 STATE lane forced two 63M convert passes per
     # step at the 1D boundary (~1.0 ms/step) — so the timer lane is
     # stored TIMER_DTYPE=int32 everywhere (config.py)
@@ -287,9 +295,8 @@ def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, refs):
         at_work1_c8 | (on_bus1_c8 << 1) | (btw1_8 << 2)
         | (at_work_ws1_8 << 3) | (on_bus_ws1_8 << 4)
     ).astype(jnp.int8)
-    outs[3][:] = hit_home.astype(jnp.int8)
-    outs[4][:] = fwd_packed.astype(jnp.int8)
-    outs[5][:] = packed_bus.astype(jnp.int8)
+    outs[3][:] = fwd_packed.astype(jnp.int8)
+    outs[4][:] = packed_bus.astype(jnp.int8)
 
 
 def _kernel_entry(K, ref_mask_sem, u8_trunc, n_real, block_rows, *refs):
@@ -330,9 +337,12 @@ def citizen_phase(
     move, mask_status, seed, exposed_time, infected_time, 0, 0] and f32
     (2,) [exposure_chance, 1-mask_eff].
 
-    Returns (status1, timer1, sched1, hit_home, fwd_packed, packed_bus,
-    partials) with lanes (N,) and partials (n_blocks, 8) int32:
-    [S, E, I, R, V, any_contrib_work, any_infected_on_bus, 0] per block.
+    Returns (status1, timer1, sched1, fwd_packed, packed_bus, partials)
+    with lanes (N,) and partials (n_blocks, 8) int32:
+    [S, E, I, R, V, n_contrib_work, n_infected_on_bus, n_home_hits] per
+    block.  The census entries are PRE-exposure (simulator.rs:178); the
+    status/timer outputs have this step's home hits already applied
+    (hit_home itself is bit 2 of fwd_packed).
 
     status/timer/sched may arrive ALREADY tiled (rows, 128) (the packed-2D
     scan carry, engine/state.py::to_2d_carry) — then they are consumed
@@ -400,15 +410,14 @@ def citizen_phase(
 
     lane_shape = (rows, LANES)
     out_shapes = [
-        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # status
-        jax.ShapeDtypeStruct(lane_shape, jnp.int32),   # timer
+        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # status (home applied)
+        jax.ShapeDtypeStruct(lane_shape, jnp.int32),   # timer (home applied)
         jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # sched (packed)
-        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # hit_home
         jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # fwd_packed
         jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # packed_bus
         jax.ShapeDtypeStruct((n_blocks, 8), jnp.int32),
     ]
-    out_specs = [main] * 6 + [part]
+    out_specs = [main] * 5 + [part]
 
     kern = functools.partial(
         _kernel_entry, K, ref_mask_sem, u8_trunc, n, block_rows
@@ -442,10 +451,9 @@ def citizen_phase(
         flat = lambda r: r.reshape(-1)[:n]
         return (
             res[0], res[1].astype(TIMER_DTYPE), res[2],
-            flat(res[3]).astype(jnp.bool_), flat(res[4]), flat(res[5]),
-            res[6],
+            flat(res[3]), flat(res[4]),
+            res[5],
         )
-    lanes = [r.reshape(-1)[:n] for r in res[:6]]
+    lanes = [r.reshape(-1)[:n] for r in res[:5]]
     lanes[1] = lanes[1].astype(TIMER_DTYPE)
-    lanes[3] = lanes[3].astype(jnp.bool_)  # hit_home (consumed by apply)
-    return tuple(lanes) + (res[6],)
+    return tuple(lanes) + (res[5],)
