@@ -282,6 +282,19 @@ class SimConfig:
     #: Slot count K for the sparse cross-order transports; steps with more
     #: new exposures than this fall back to the dense permutation sort.
     sparse_transport_slots: int = 2048
+    #: Apply the gated work/bus exposure hits (and the vaccine-pool prunes
+    #: they imply) as K-bounded scatters instead of N-wide select chains:
+    #: the fused kernel already applies home hits in-pass, the work branch
+    #: returns its work-order hit mask (no N-sized backward permutation
+    #: sort), and a while-loop drains hits ``apply_sparse_slots`` at a time
+    #: (exact at any count; >1 round only past K hits per step).  Requires
+    #: the fused citizen kernel; incompatible with use_replicated_orders
+    #: (which carries its own delta transport).  None = auto: on whenever
+    #: the fused kernel runs and the replicated engine doesn't.
+    #: Trajectories are bitwise-identical to the dense apply.
+    use_sparse_apply: bool | None = None
+    #: Hits applied per scatter round of the sparse apply path.
+    apply_sparse_slots: int = 8192
     #: Rows per grid step of the fused citizen kernel ((rows, 128) tiles).
     #: 1024 measured best at 63M (9.4 -> 8.8 ms/step lean; 2048+ exceeds
     #: VMEM and fails Mosaic compile) and is neutral at Y&H (docs/PERF.md).

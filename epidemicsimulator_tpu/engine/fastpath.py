@@ -171,6 +171,25 @@ def wants_fixed_priority_vax(world: World, cfg: SimConfig) -> bool:
     return bool(fp) and cfg.use_fast_path and world.has_fast_tables
 
 
+def wants_sparse_apply(world: World, cfg: SimConfig, state: SimState) -> bool:
+    """Whether fast_step applies the gated work/bus hits as K-bounded
+    scatters (SimConfig.use_sparse_apply).  Requires the fused citizen
+    kernel (which applies home hits in-pass and reports their count in
+    partials[:, 7]) and the classic (non-replicated) formulation; the
+    legacy no-OA-table per-OA recording branch still needs dense hit
+    lanes, so it opts out too.  Auto (None): on whenever eligible —
+    trajectories are bitwise-identical to the dense apply."""
+    sa = cfg.use_sparse_apply
+    if sa is None:
+        sa = True
+    return (
+        bool(sa)
+        and wants_fused_citizen(world, cfg)
+        and not wants_replicated(world, cfg, state)
+        and not (cfg.record_exposures_per_oa and world.oa_lo.shape[0] == 0)
+    )
+
+
 def make_rider_statics(world: World):
     """Rider-order schedule lanes for the replicated bus path — one-time
     gathers, built outside the scan so they are loop-invariant."""
@@ -289,6 +308,7 @@ def fast_step(
         hit_home = (fwd_packed & 4) != 0
         packed2d = getattr(status, "ndim", 1) == 2
         seirv0 = jnp.sum(partials[:, :5], axis=0)
+        n_home = jnp.sum(partials[:, 7])
         work_pred_default = jnp.sum(partials[:, 5]) > 0
         bus_pred_default = jnp.sum(partials[:, 6]) > 0
         timer = jnp.asarray(timer, jnp.int32)
@@ -399,6 +419,7 @@ def fast_step(
     # (ops/sparse.py).  Trajectories are bitwise-identical to the classic
     # formulation: every draw stream is indexed by static order positions.
     rep = wants_replicated(world, cfg, state)
+    sparse_apply = wants_sparse_apply(world, cfg, state)
     KS = cfg.sparse_transport_slots
     R = world.rider_perm.shape[0]
     if rep:
@@ -601,6 +622,69 @@ def fast_step(
         )
         return hit_work, hit_work_r, hit_work_ws, oa_work
 
+    def work_side_sparse(fwd):
+        # Same pressure + draws as work_side (same RNG streams), but the
+        # hits RETURN as the work-order mask + exact counts: the N-sized
+        # backward permutation sort disappears, and the caller drains hit
+        # positions apply_sparse_slots at a time (sparse apply, §9).
+        fwd_ws = permute_by_sort(world.wpos, fwd, bits=3)
+        contrib_w_ws = (fwd_ws & 1).astype(jnp.int32)
+        susc_ws = (fwd_ws & 2) != 0
+        hit_home_ws = (fwd_ws & 4) != 0
+
+        if use_pallas:
+            from ..ops.pallas_scans import run_totals_fused
+
+            n_w_ws, room_ws = run_totals_fused(
+                (fwd_ws & 1),
+                [
+                    (world.ws_wb_start_mask, world.ws_wb_end_mask),
+                    (world.ws_room_start_mask, world.ws_room_end_mask),
+                ],
+                tile_rows=512,
+            )
+        else:
+            cs_ws = jnp.cumsum(contrib_w_ws)
+            from ..ops.runsums import run_totals_from_cumsum
+
+            n_w_ws = run_totals_from_cumsum(
+                cs_ws, contrib_w_ws, world.ws_wb_start_mask, world.ws_wb_end_mask
+            )
+            room_ws = run_totals_from_cumsum(
+                cs_ws, contrib_w_ws, world.ws_room_start_mask, world.ws_room_end_mask
+            )
+        draws_ws = jnp.where(
+            world.ws_is_school, room_ws, (n_w_ws > 0).astype(jnp.int32)
+        )
+        at_work_ws_l = (_sched_flat() & 8) != 0
+        on_bus_ws_l = (_sched_flat() & 16) != 0
+        p_ws = _exposure_p(
+            d.exposure_chance, d.mask_effectiveness, state.mask_status,
+            world.ws_mask_compliant, on_bus_ws_l, cfg.reference_mask_semantics,
+        )
+        cur_oa_ws = jnp.where(at_work_ws_l, world.ws_work_oa, world.ws_home_oa)
+        q_single = binomial_at_least_one(p_ws, trunc(n_w_ws))
+        q_work_ws = jnp.where(
+            (cur_oa_ws == world.ws_work_oa) & world.ws_work_neq_home,
+            -jnp.expm1(draws_ws.astype(jnp.float32) * jnp.log1p(-q_single)),
+            0.0,
+        )
+        from ..ops.hashrng import hash_uniform
+
+        u_w = hash_uniform(seed_w, jnp.arange(n, dtype=jnp.uint32))
+        hit_work_ws = susc_ws & (u_w < q_work_ws)
+        from_work_ws = hit_work_ws & ~hit_home_ws
+        if record_oa:
+            oa_work = _range_totals(from_work_ws, world.ws_oa_lo, world.ws_oa_hi)
+        else:
+            oa_work = jnp.zeros((0,), jnp.int32)
+        return (
+            hit_work_ws,
+            jnp.sum(hit_work_ws.astype(jnp.int32)),
+            jnp.sum(from_work_ws.astype(jnp.int32)),
+            oa_work,
+        )
+
     work_pred = (
         work_pred_default
         if gate_overrides is None or gate_overrides[0] is None
@@ -618,6 +702,18 @@ def fast_step(
                 jnp.zeros((n_oa_out,), jnp.int32),
             ),
             contrib_ws_bits,
+        )
+    elif sparse_apply:
+        hit_ws_lane, cnt_w, n_work_new, oa_work = jax.lax.cond(
+            work_pred,
+            work_side_sparse,
+            lambda fwd: (
+                jnp.zeros((n,), bool),
+                jnp.int32(0),
+                jnp.int32(0),
+                jnp.zeros((n_oa_out,), jnp.int32),
+            ),
+            fwd_packed,
         )
     else:
         hit_work, oa_work = jax.lax.cond(
@@ -682,7 +778,8 @@ def fast_step(
             | ((status_r1 == STATUS_INFECTED).astype(jnp.int8) << 1)
             | ((status_r1 == STATUS_SUSCEPTIBLE).astype(jnp.int8) << 2)
         )
-        hit_bus, hit_bus_r, bus_rider_ids, bus_live, n_bus_hits = jax.lax.cond(
+        (hit_bus, hit_bus_r, bus_rider_ids, bus_live, n_bus_hits,
+         _bus_cit_ids) = jax.lax.cond(
             bus_pred,
             bus_branch_rep,
             lambda _: (
@@ -691,6 +788,7 @@ def fast_step(
                 jnp.zeros((k_top,), jnp.int32),
                 jnp.zeros((k_top,), bool),
                 jnp.int32(0),
+                jnp.zeros((k_top,), jnp.int32),
             ),
             packed_r,
         )
@@ -711,13 +809,41 @@ def fast_step(
             lambda _: sp_ws_b,
             hit_bus,
         )
+    elif sparse_apply:
+        k_bt = min(16384, R)
+
+        def bus_branch_sparse(packed):
+            rp = world.rider_perm
+            if world.rpos is not None and world.rpos.shape[0] == n:
+                pk = permute_by_sort(world.rpos, packed, bits=3)[: rp.shape[0]]
+            else:
+                pk = jnp.take(packed, rp)
+            _, rider_lane, _, live, n_hits, cit_ids = bus_hits(
+                k_bus, k_b,
+                (pk & 1) != 0, (pk & 2) != 0, (pk & 4) != 0,
+                world.rider_mask_compliant,
+                world.rider_route, rp, cfg.bus_capacity, p_fn, n,
+                want_cit_lane=False,
+            )
+            return rider_lane, cit_ids, live, n_hits
+
+        bus_rider_hit_lane, bus_cit_ids, bus_live, n_bus_hits = jax.lax.cond(
+            bus_pred,
+            bus_branch_sparse,
+            lambda _: (
+                jnp.zeros((R,), bool),
+                jnp.zeros((k_bt,), jnp.int32),
+                jnp.zeros((k_bt,), bool),
+                jnp.int32(0),
+            ),
+            packed_bus,
+        )
     else:
         hit_bus = jax.lax.cond(
             bus_pred, bus_branch, lambda _: jnp.zeros((n,), bool), packed_bus
         )
 
     # 9. combine + bookkeeping (statistics.rs:181-195, 275-287)
-    newly_exposed = hit_home | hit_work | hit_bus
     if use_fused and packed2d:
         # status/timer are (rows, 128) tiles; lift the hit lane once
         # (pad rows are never exposed: pad status is 5)
@@ -729,28 +855,124 @@ def fast_step(
                 x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
             return x.reshape(rows2d, 128)
 
-        newly2d = _lift2d(newly_exposed)
-        status = jnp.where(newly2d, jnp.int8(STATUS_EXPOSED), status)
-        timer = jnp.where(newly2d, 0, timer)
     else:
         _lift2d = None
-        status = jnp.where(newly_exposed, jnp.int8(STATUS_EXPOSED), status)
-        timer = jnp.where(newly_exposed, 0, timer)
-    if rep:
-        newly_ws = hh_ws | hit_work_ws_lane | hit_bus_ws
-        status_ws1 = jnp.where(newly_ws, jnp.int8(STATUS_EXPOSED), status_ws1)
-        timer_ws1 = jnp.where(newly_ws, 0, timer_ws1)
-        newly_r = hh_r | hit_work_r | hit_bus_r
-        status_r1 = jnp.where(newly_r, jnp.int8(STATUS_EXPOSED), status_r1)
-        timer_r1 = jnp.where(newly_r, 0, timer_r1)
-    from_bus = hit_bus & ~hit_home & ~hit_work
-    if cfg.faithful_vaccine_bugs:
-        eligible = state.eligible & ~from_bus
-    else:
-        eligible = state.eligible & ~newly_exposed
 
-    n_new = jnp.sum(newly_exposed.astype(jnp.int32))
-    n_bus_exp = jnp.sum(from_bus.astype(jnp.int32))
+    if sparse_apply:
+        # §9-sparse: the kernel already applied this step's home hits; the
+        # gated work/bus hits (zero on most hours, a handful at peaks) are
+        # drained as K-bounded scatter rounds — no N-wide select chains, no
+        # dense citizen-order hit lanes, exact at any hit count (the while
+        # loops take a second round only past apply_sparse_slots hits).
+        # Same value semantics as the dense branch below, bitwise.
+        from ..ops.sparse import compact_positions
+
+        K_AP = max(1, min(cfg.apply_sparse_slots, n))
+
+        def _scatter(lane, idx, live, value):
+            if getattr(lane, "ndim", 1) == 2:
+                r = jnp.where(live, idx // 128, lane.shape[0])
+                return lane.at[r, idx % 128].set(value, mode="drop")
+            return lane.at[jnp.where(live, idx, lane.shape[0])].set(
+                value, mode="drop"
+            )
+
+        eligible = state.eligible
+        if not cfg.faithful_vaccine_bugs:
+            eligible = eligible & ~hit_home
+
+        def w_round(c):
+            done, st, tm, el = c
+            pos_ws, live, _ = compact_positions(
+                hit_ws_lane, K_AP, offset=done
+            )
+            cit = jnp.take(world.work_perm, jnp.minimum(pos_ws, n - 1))
+            st = _scatter(st, cit, live, STATUS_EXPOSED)
+            tm = _scatter(tm, cit, live, 0)
+            if not cfg.faithful_vaccine_bugs:
+                el = _scatter(el, cit, live, False)
+            return (done + jnp.sum(live.astype(jnp.int32)), st, tm, el)
+
+        _, status, timer, eligible = jax.lax.while_loop(
+            lambda c: c[0] < cnt_w, w_round,
+            (jnp.int32(0), status, timer, eligible),
+        )
+
+        # Bus hits: the first k_bt arrive pre-compacted (ascending rider
+        # slot); overflow rounds continue at the same rank order off the
+        # exact rider-order lane.  from_bus flags (simulator.rs:447-449)
+        # come from K-bounded gathers: hit_home is bit 2 of fwd_packed,
+        # work membership reads the work-order hit mask through wpos.
+        def _bus_flags(cit, live):
+            home_b = (jnp.take(fwd_packed, cit) & 4) != 0
+            work_b = jnp.take(
+                hit_ws_lane, jnp.minimum(jnp.take(world.wpos, cit), n - 1)
+            )
+            return live & ~home_b & ~work_b
+
+        safe_cit = jnp.minimum(bus_cit_ids, n - 1)
+        fb = _bus_flags(safe_cit, bus_live)
+        n_bus_new = jnp.sum(fb.astype(jnp.int32))
+        status = _scatter(status, safe_cit, bus_live, STATUS_EXPOSED)
+        timer = _scatter(timer, safe_cit, bus_live, 0)
+        eligible = _scatter(
+            eligible, safe_cit,
+            fb if cfg.faithful_vaccine_bugs else bus_live, False,
+        )
+        if R > 0:
+
+            def b_round(c):
+                done, st, tm, el, nb = c
+                pos_r, live, _ = compact_positions(
+                    bus_rider_hit_lane, K_AP, offset=done
+                )
+                cit = jnp.minimum(
+                    jnp.take(world.rider_perm, jnp.minimum(pos_r, R - 1)),
+                    n - 1,
+                )
+                fbr = _bus_flags(cit, live)
+                st = _scatter(st, cit, live, STATUS_EXPOSED)
+                tm = _scatter(tm, cit, live, 0)
+                el = _scatter(
+                    el, cit,
+                    fbr if cfg.faithful_vaccine_bugs else live, False,
+                )
+                return (
+                    done + jnp.sum(live.astype(jnp.int32)),
+                    st, tm, el, nb + jnp.sum(fbr.astype(jnp.int32)),
+                )
+
+            _, status, timer, eligible, n_bus_new = jax.lax.while_loop(
+                lambda c: c[0] < n_bus_hits, b_round,
+                (jnp.minimum(n_bus_hits, jnp.int32(k_bt)), status, timer,
+                 eligible, n_bus_new),
+            )
+        n_new = n_home + n_work_new + n_bus_new
+        n_bus_exp = n_bus_new
+    else:
+        newly_exposed = hit_home | hit_work | hit_bus
+        if _lift2d is not None:
+            newly2d = _lift2d(newly_exposed)
+            status = jnp.where(newly2d, jnp.int8(STATUS_EXPOSED), status)
+            timer = jnp.where(newly2d, 0, timer)
+        else:
+            status = jnp.where(newly_exposed, jnp.int8(STATUS_EXPOSED), status)
+            timer = jnp.where(newly_exposed, 0, timer)
+        if rep:
+            newly_ws = hh_ws | hit_work_ws_lane | hit_bus_ws
+            status_ws1 = jnp.where(newly_ws, jnp.int8(STATUS_EXPOSED), status_ws1)
+            timer_ws1 = jnp.where(newly_ws, 0, timer_ws1)
+            newly_r = hh_r | hit_work_r | hit_bus_r
+            status_r1 = jnp.where(newly_r, jnp.int8(STATUS_EXPOSED), status_r1)
+            timer_r1 = jnp.where(newly_r, 0, timer_r1)
+        from_bus = hit_bus & ~hit_home & ~hit_work
+        if cfg.faithful_vaccine_bugs:
+            eligible = state.eligible & ~from_bus
+        else:
+            eligible = state.eligible & ~newly_exposed
+
+        n_new = jnp.sum(newly_exposed.astype(jnp.int32))
+        n_bus_exp = jnp.sum(from_bus.astype(jnp.int32))
     if record_oa:
         # Sparse path: most hours expose far fewer citizens than K, so the
         # per-OA home counts come from compacting the hit positions
@@ -782,7 +1004,8 @@ def fast_step(
             oa_home = oa_sparse(hit_home)
         elif K_OA > 0:
             oa_home = jax.lax.cond(
-                jnp.sum(hit_home.astype(jnp.int32)) <= K_OA,
+                (n_home if use_fused else jnp.sum(hit_home.astype(jnp.int32)))
+                <= K_OA,
                 oa_sparse,
                 lambda hit: _range_totals(hit, world.oa_lo, world.oa_hi),
                 hit_home,

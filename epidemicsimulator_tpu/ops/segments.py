@@ -113,11 +113,14 @@ def bus_hits(
     exposure_p_fn,
     n_citizens: int,
     max_hits: int = 16384,
+    want_cit_lane: bool = True,
 ):
     """Gather-free bus exposure.
 
-    Returns ``(cit_lane, rider_lane, rider_ids, live, n_hits)``: the
-    (n_citizens,) bool hit lane, the (R,) rider-order hit lane, the
+    Returns ``(cit_lane, rider_lane, rider_ids, live, n_hits, cit_ids)``:
+    the (n_citizens,) bool hit lane ((0,) when ``want_cit_lane`` is False —
+    the sparse-apply caller scatters ``cit_ids`` itself), the (R,)
+    rider-order hit lane (exact in BOTH compaction regimes), the
     compacted rider-order hit slots (max_hits,) with their live mask, and
     the exact hit count (compaction is exact only while
     ``n_hits <= max_hits`` — both lanes fall back to dense scatters past
@@ -147,11 +150,12 @@ def bus_hits(
     r = rb_on.shape[0]
     if r == 0:
         return (
-            jnp.zeros((n_citizens,), bool),
+            jnp.zeros((n_citizens if want_cit_lane else 0,), bool),
             jnp.zeros((0,), bool),
             jnp.zeros((0,), jnp.int32),
             jnp.zeros((0,), bool),
             jnp.int32(0),
+            jnp.zeros((0,), jnp.int32),
         )
     rk = jnp.where(rb_on, rider_route, _INT32_MAX)
     tie = jax.random.bits(key_shuffle, (r,), dtype=jnp.uint32).astype(jnp.int32)
@@ -193,24 +197,29 @@ def bus_hits(
     cit_ids = jnp.take(
         rider_citizen_id, jnp.minimum(rider_ids, r - 1), mode="clip"
     )
-    sparse = (
-        jnp.zeros((n_citizens,), bool)
-        .at[jnp.where(live, cit_ids, n_citizens)]
-        .set(True, mode="drop")
-    )
-
-    def dense(_):
-        cit_all = jnp.take(rider_citizen_id, jnp.asarray(pay_s >> 3, jnp.int32))
-        return (
+    n_hits = jnp.sum(hit.astype(jnp.int32))
+    if want_cit_lane:
+        sparse = (
             jnp.zeros((n_citizens,), bool)
-            .at[jnp.where(hit, cit_all, n_citizens)]
+            .at[jnp.where(live, cit_ids, n_citizens)]
             .set(True, mode="drop")
         )
 
-    n_hits = jnp.sum(hit.astype(jnp.int32))
-    cit_lane = jax.lax.cond(
-        n_hits > k_top, dense, lambda _: sparse, None
-    )
+        def dense(_):
+            cit_all = jnp.take(
+                rider_citizen_id, jnp.asarray(pay_s >> 3, jnp.int32)
+            )
+            return (
+                jnp.zeros((n_citizens,), bool)
+                .at[jnp.where(hit, cit_all, n_citizens)]
+                .set(True, mode="drop")
+            )
+
+        cit_lane = jax.lax.cond(
+            n_hits > k_top, dense, lambda _: sparse, None
+        )
+    else:
+        cit_lane = jnp.zeros((0,), bool)
     # Rider-order hit lane for the replicated-order engine: the compact
     # payload indices ARE rider-order slots; the dense branch scatters the
     # sorted lane back through the shuffle payload.
@@ -231,4 +240,4 @@ def bus_hits(
         ),
         None,
     )
-    return cit_lane, rider_lane, rider_ids, live, n_hits
+    return cit_lane, rider_lane, rider_ids, live, n_hits, cit_ids

@@ -56,9 +56,13 @@ def scatter_bits(n_out: int, dest_idx, live):
     )
 
 
-def compact_positions(mask, k_slots: int, *, block: int = 1024):
+def compact_positions(mask, k_slots: int, *, block: int = 1024, offset=0):
     """Positions of the first ``k_slots`` set bits of ``mask`` — WITHOUT an
-    N-sized cumsum.
+    N-sized cumsum.  ``offset`` (static or traced int32) skips that many
+    leading set bits: slot j yields the (offset+j+1)-th set bit — the
+    round-extraction primitive for the sparse apply path
+    (engine/fastpath.py), whose while-loop pulls ``k_slots`` hits per
+    iteration until the exact popcount is drained.
 
     The rank machinery above pays one full-lane cumsum (~4.8 ms at 63M on
     this chip, docs/PERF.md) plus a searchsorted over the N-lane.  This
@@ -88,7 +92,9 @@ def compact_positions(mask, k_slots: int, *, block: int = 1024):
     bs = m2.astype(jnp.int32).sum(axis=1)
     total = jnp.sum(bs)
 
-    tgt = jnp.arange(1, k_slots + 1, dtype=jnp.int32)
+    tgt = jnp.asarray(offset, jnp.int32) + jnp.arange(
+        1, k_slots + 1, dtype=jnp.int32
+    )
     # Owning block per slot.  A searchsorted over the (nb,) prefix costs
     # 16 rounds x K serial gathers (~2.6 ms at 63M/K=8192, per-index
     # latency-bound even on a cache-sized table) — instead, two levels of

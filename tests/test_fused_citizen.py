@@ -152,6 +152,45 @@ def test_packed_sched_carry_bitwise_matches_unpacked():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("faithful", [True, False])
+def test_sparse_apply_bitwise_matches_dense(faithful):
+    """The K-bounded sparse apply (SimConfig.use_sparse_apply: work/bus
+    hits drained as scatter rounds) must be bitwise-identical to the dense
+    N-wide select apply under the same fused kernel.  apply_sparse_slots=4
+    forces many while-loop rounds per step; a small bus capacity plus high
+    exposure keeps work AND bus branches firing; both vaccine-bug regimes
+    (simulator.rs:447-449) exercise their distinct eligible-prune flags."""
+    world = generate_synthetic_world(8_000, n_output_areas=6, seed=11)
+    wd = world.device_put()
+    base = Params.covid()
+    params = Params(
+        dataclasses.replace(base.disease, exposure_chance=0.9),
+        base.thresholds,
+    ).as_arrays()
+    results = {}
+    for sparse in (False, True):
+        cfg = SimConfig(
+            use_fused_citizen=True, use_pallas_scans=False,
+            use_sparse_apply=sparse, apply_sparse_slots=4,
+            bus_capacity=16, faithful_vaccine_bugs=faithful,
+        )
+        st = init_state(wd, seed=2, starting_infected=50)
+        jstep = jax.jit(lambda w, p, s: step(w, p, cfg, s))
+        rows = []
+        for _ in range(48):
+            st, out = jstep(wd, params, st)
+            rows.append((np.asarray(out.seirv), np.asarray(out.exposures_per_oa)))
+        results[sparse] = (
+            rows, np.asarray(st.status), np.asarray(st.timer),
+            np.asarray(st.eligible),
+        )
+    for t, (a, b) in enumerate(zip(results[False][0], results[True][0])):
+        np.testing.assert_array_equal(a[0], b[0], err_msg=f"seirv step {t}")
+        np.testing.assert_array_equal(a[1], b[1], err_msg=f"oa step {t}")
+    for k in (1, 2, 3):
+        np.testing.assert_array_equal(results[False][k], results[True][k])
+
+
 def test_chunk_runner_matches_raw_steps():
     """The chunk runner's scan plumbing (packed carry, hoisted PRNG key,
     packed per-step outputs) must reproduce raw per-step `step()` calls
