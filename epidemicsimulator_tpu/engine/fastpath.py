@@ -674,14 +674,48 @@ def fast_step(
         u_w = hash_uniform(seed_w, jnp.arange(n, dtype=jnp.uint32))
         hit_work_ws = susc_ws & (u_w < q_work_ws)
         from_work_ws = hit_work_ws & ~hit_home_ws
+        n_from_ws = jnp.sum(from_work_ws.astype(jnp.int32))
         if record_oa:
-            oa_work = _range_totals(from_work_ws, world.ws_oa_lo, world.ws_oa_hi)
+            # Work-OA counts, sparse like oa_home below: ws order groups
+            # work-building OAs contiguously (schema.py::oa_ranges), so a
+            # K-bounded compact + id-lane scatter-add equals the dense
+            # range extraction bit-for-bit; dense only past K hits.
+            k_oa_w = cfg.oa_sparse_slots
+            if k_oa_w is None:
+                k_oa_w = 8192 if n >= 16_000_000 else 0
+            if k_oa_w > 0:
+                from ..ops.sparse import compact_positions as _cp
+
+                def oa_work_sparse(m):
+                    pos, live, _ = _cp(m, k_oa_w)
+                    ids = jnp.take(
+                        world.ws_work_oa, jnp.minimum(pos, n - 1), mode="clip"
+                    )
+                    n_oa_w = world.ws_oa_lo.shape[0]
+                    return (
+                        jnp.zeros((n_oa_w,), jnp.int32)
+                        .at[jnp.where(live, ids, n_oa_w)]
+                        .add(1, mode="drop")
+                    )
+
+                oa_work = jax.lax.cond(
+                    n_from_ws <= k_oa_w,
+                    oa_work_sparse,
+                    lambda m: _range_totals(
+                        m, world.ws_oa_lo, world.ws_oa_hi
+                    ),
+                    from_work_ws,
+                )
+            else:
+                oa_work = _range_totals(
+                    from_work_ws, world.ws_oa_lo, world.ws_oa_hi
+                )
         else:
             oa_work = jnp.zeros((0,), jnp.int32)
         return (
             hit_work_ws,
             jnp.sum(hit_work_ws.astype(jnp.int32)),
-            jnp.sum(from_work_ws.astype(jnp.int32)),
+            n_from_ws,
             oa_work,
         )
 

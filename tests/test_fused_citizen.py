@@ -173,6 +173,10 @@ def test_sparse_apply_bitwise_matches_dense(faithful):
             use_fused_citizen=True, use_pallas_scans=False,
             use_sparse_apply=sparse, apply_sparse_slots=4,
             bus_capacity=16, faithful_vaccine_bugs=faithful,
+            # force the K-bounded per-OA recording paths (home AND the
+            # sparse arm's work-OA scatter) — 8 slots means both the
+            # sparse and dense-fallback sides of their conds fire
+            oa_sparse_slots=8,
         )
         st = init_state(wd, seed=2, starting_infected=50)
         jstep = jax.jit(lambda w, p, s: step(w, p, cfg, s))
