@@ -29,11 +29,33 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _backend_with_retries():
+    """TPU-tunnel init can fail transiently (backend UNAVAILABLE).  A failed
+    init is cached for the process lifetime, so retry by re-exec'ing a fresh
+    interpreter a bounded number of times before giving up."""
+    import os
+
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        tries = int(os.environ.get("ESUCD_BENCH_RETRY", "0"))
+        if "nable to initialize backend" in str(e) and tries < 4:
+            log(f"backend init failed (attempt {tries + 1}/5), retrying: {e}")
+            time.sleep(90)
+            os.environ["ESUCD_BENCH_RETRY"] = str(tries + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
+
+
 def main():
     import jax
 
     from epidemicsimulator_tpu import Params, SimConfig, generate_synthetic_world
     from epidemicsimulator_tpu.utils import enable_compilation_cache
+
+    _backend_with_retries()
 
     enable_compilation_cache()
     from epidemicsimulator_tpu.engine.scan import make_chunk_runner
