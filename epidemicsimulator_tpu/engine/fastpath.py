@@ -287,8 +287,7 @@ def fast_step(
 
         packed_carry = sched_packed(state)
         sched_in = state.sched if packed_carry else pack_sched(state).sched
-        (status, timer, sched1, fwd_packed, packed_bus,
-         partials) = citizen_phase(
+        (status, timer, sched1, fwd_packed, partials) = citizen_phase(
             statics,
             state.status, state.timer, sched_in,
             ints, f32s,
@@ -398,15 +397,14 @@ def fast_step(
         hit_home = susceptible & (jax.random.uniform(k_h, (n,)) < q_home)
 
         contrib_work = inf_active & at_work & work_neq_home
+        # one merged gates lane (same layout as the fused kernel's):
+        # bits 0-2 feed the work cond, bits 1/3/4 the bus cond
         fwd_packed = (
             contrib_work.astype(jnp.int8)
             | (susceptible.astype(jnp.int8) << 1)
             | (hit_home.astype(jnp.int8) << 2)
-        )
-        packed_bus = (
-            on_bus.astype(jnp.int8)
-            | ((status == STATUS_INFECTED).astype(jnp.int8) << 1)
-            | (susceptible.astype(jnp.int8) << 2)
+            | (on_bus.astype(jnp.int8) << 3)
+            | ((status == STATUS_INFECTED).astype(jnp.int8) << 4)
         )
         work_pred_default = jnp.any(contrib_work)
         bus_pred_default = jnp.any(on_bus & (status == STATUS_INFECTED))
@@ -479,10 +477,12 @@ def fast_step(
     record_oa = cfg.record_exposures_per_oa and world.oa_lo.shape[0] > 0
 
     def work_side(fwd):
-        # fwd: (contrib_work | susceptible<<1 | hit_home<<2) packed OUTSIDE
-        # the cond so the branch takes one s8 operand instead of three pred
-        # lanes (each lax.cond operand/result costs an N-sized buffer copy).
-        fwd_ws = permute_by_sort(world.wpos, fwd, bits=3)
+        # fwd: the merged gates lane (contrib_work | susceptible<<1 |
+        # hit_home<<2 | on_bus<<3 | infected<<4), packed OUTSIDE the cond so
+        # the work AND bus branches share one s8 operand instead of several
+        # pred lanes (each lax.cond operand/result costs an N-sized buffer
+        # copy).  Only bits 0-2 matter here; 3-4 ride the sort inertly.
+        fwd_ws = permute_by_sort(world.wpos, fwd, bits=5)
         contrib_w_ws = (fwd_ws & 1).astype(jnp.int32)
         susc_ws = (fwd_ws & 2) != 0
         hit_home_ws = (fwd_ws & 4) != 0
@@ -627,7 +627,7 @@ def fast_step(
         # hits RETURN as the work-order mask + exact counts: the N-sized
         # backward permutation sort disappears, and the caller drains hit
         # positions apply_sparse_slots at a time (sparse apply, §9).
-        fwd_ws = permute_by_sort(world.wpos, fwd, bits=3)
+        fwd_ws = permute_by_sort(world.wpos, fwd, bits=5)
         contrib_w_ws = (fwd_ws & 1).astype(jnp.int32)
         susc_ws = (fwd_ws & 2) != 0
         hit_home_ws = (fwd_ws & 4) != 0
@@ -775,15 +775,17 @@ def fast_step(
         )
 
     def bus_branch(packed):
+        # packed = the merged gates lane: on_bus bit 3, infected bit 4,
+        # susceptible bit 1
         rp = world.rider_perm
         if world.rpos is not None and world.rpos.shape[0] == n:
-            pk = permute_by_sort(world.rpos, packed, bits=3)[: rp.shape[0]]
+            pk = permute_by_sort(world.rpos, packed, bits=5)[: rp.shape[0]]
         else:
             pk = jnp.take(packed, rp)
 
         return bus_hits(
             k_bus, k_b,
-            (pk & 1) != 0, (pk & 2) != 0, (pk & 4) != 0,
+            (pk & 8) != 0, (pk & 16) != 0, (pk & 2) != 0,
             world.rider_mask_compliant,
             world.rider_route, rp, cfg.bus_capacity, p_fn, n,
         )[0]
@@ -849,12 +851,12 @@ def fast_step(
         def bus_branch_sparse(packed):
             rp = world.rider_perm
             if world.rpos is not None and world.rpos.shape[0] == n:
-                pk = permute_by_sort(world.rpos, packed, bits=3)[: rp.shape[0]]
+                pk = permute_by_sort(world.rpos, packed, bits=5)[: rp.shape[0]]
             else:
                 pk = jnp.take(packed, rp)
             _, rider_lane, _, live, n_hits, cit_ids = bus_hits(
                 k_bus, k_b,
-                (pk & 1) != 0, (pk & 2) != 0, (pk & 4) != 0,
+                (pk & 8) != 0, (pk & 16) != 0, (pk & 2) != 0,
                 world.rider_mask_compliant,
                 world.rider_route, rp, cfg.bus_capacity, p_fn, n,
                 want_cit_lane=False,
@@ -870,11 +872,11 @@ def fast_step(
                 jnp.zeros((k_bt,), bool),
                 jnp.int32(0),
             ),
-            packed_bus,
+            fwd_packed,
         )
     else:
         hit_bus = jax.lax.cond(
-            bus_pred, bus_branch, lambda _: jnp.zeros((n,), bool), packed_bus
+            bus_pred, bus_branch, lambda _: jnp.zeros((n,), bool), fwd_packed
         )
 
     # 9. combine + bookkeeping (statistics.rs:181-195, 275-287)

@@ -251,17 +251,16 @@ def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, refs):
     susceptible = status1_c == 0
     hit_home = susceptible & (u < q_home)
 
-    # 7. packed cond operands
+    # 7. packed cond operand: ONE s8 gates lane feeds both the work and bus
+    # conds (bits 0-2 work side, 1/3/4 bus side; susceptible is shared) —
+    # one 63M-lane write+read per step instead of two
     contrib_work = inf_c & at_work1_c & wneq_c
-    fwd_packed = (
+    gates = (
         contrib_work.astype(jnp.int32)
         | (susceptible.astype(jnp.int32) << 1)
         | (hit_home.astype(jnp.int32) << 2)
-    )
-    packed_bus = (
-        on_bus1_c.astype(jnp.int32)
-        | ((status1_c == 2).astype(jnp.int32) << 1)
-        | (susceptible.astype(jnp.int32) << 2)
+        | (on_bus1_c.astype(jnp.int32) << 3)
+        | ((status1_c == 2).astype(jnp.int32) << 4)
     )
 
     # 3/8. per-block census + gate partials (valid elements only — the final
@@ -270,14 +269,14 @@ def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, refs):
     # hits are folded in below.
     valid = flat < n_real
     for s in range(5):
-        outs[5][b, s] = jnp.sum((valid & (status1_c == s)).astype(jnp.int32))
-    outs[5][b, 5] = jnp.sum((valid & contrib_work).astype(jnp.int32))
+        outs[4][b, s] = jnp.sum((valid & (status1_c == s)).astype(jnp.int32))
+    outs[4][b, 5] = jnp.sum((valid & contrib_work).astype(jnp.int32))
     # bus gate counts riders who are INFECTED: hours with riders but no
     # infectious rider are exposure no-ops and the cond skips them
-    outs[5][b, 6] = jnp.sum(
+    outs[4][b, 6] = jnp.sum(
         (valid & on_bus1_c & (status1_c == 2)).astype(jnp.int32)
     )
-    outs[5][b, 7] = jnp.sum((valid & hit_home).astype(jnp.int32))
+    outs[4][b, 7] = jnp.sum((valid & hit_home).astype(jnp.int32))
 
     # Home hits are applied HERE (citizen.rs:221-248 end state) so the apply
     # stage outside never touches the full lanes for them; work/bus hits —
@@ -295,8 +294,7 @@ def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, refs):
         at_work1_c8 | (on_bus1_c8 << 1) | (btw1_8 << 2)
         | (at_work_ws1_8 << 3) | (on_bus_ws1_8 << 4)
     ).astype(jnp.int8)
-    outs[3][:] = fwd_packed.astype(jnp.int8)
-    outs[4][:] = packed_bus.astype(jnp.int8)
+    outs[3][:] = gates.astype(jnp.int8)
 
 
 def _kernel_entry(K, ref_mask_sem, u8_trunc, n_real, block_rows, *refs):
@@ -337,12 +335,14 @@ def citizen_phase(
     move, mask_status, seed, exposed_time, infected_time, 0, 0] and f32
     (2,) [exposure_chance, 1-mask_eff].
 
-    Returns (status1, timer1, sched1, fwd_packed, packed_bus, partials)
-    with lanes (N,) and partials (n_blocks, 8) int32:
+    Returns (status1, timer1, sched1, gates, partials) with lanes (N,) and
+    partials (n_blocks, 8) int32:
     [S, E, I, R, V, n_contrib_work, n_infected_on_bus, n_home_hits] per
-    block.  The census entries are PRE-exposure (simulator.rs:178); the
-    status/timer outputs have this step's home hits already applied
-    (hit_home itself is bit 2 of fwd_packed).
+    block.  ``gates`` packs the work AND bus cond operands into one s8
+    lane: contrib_work | susceptible<<1 | hit_home<<2 | on_bus<<3 |
+    infected<<4.  The census entries are PRE-exposure (simulator.rs:178);
+    the status/timer outputs have this step's home hits already applied
+    (hit_home itself is bit 2 of gates).
 
     status/timer/sched may arrive ALREADY tiled (rows, 128) (the packed-2D
     scan carry, engine/state.py::to_2d_carry) — then they are consumed
@@ -413,11 +413,10 @@ def citizen_phase(
         jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # status (home applied)
         jax.ShapeDtypeStruct(lane_shape, jnp.int32),   # timer (home applied)
         jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # sched (packed)
-        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # fwd_packed
-        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # packed_bus
+        jax.ShapeDtypeStruct(lane_shape, jnp.int8),    # gates (work+bus)
         jax.ShapeDtypeStruct((n_blocks, 8), jnp.int32),
     ]
-    out_specs = [main] * 5 + [part]
+    out_specs = [main] * 4 + [part]
 
     kern = functools.partial(
         _kernel_entry, K, ref_mask_sem, u8_trunc, n, block_rows
@@ -447,13 +446,12 @@ def citizen_phase(
     )
     if two_d:
         # status/timer/sched stay tiled for the 2D carry; the per-citizen
-        # cond/apply operands flatten to the true population.
-        flat = lambda r: r.reshape(-1)[:n]
+        # cond/apply operand flattens to the true population.
         return (
             res[0], res[1].astype(TIMER_DTYPE), res[2],
-            flat(res[3]), flat(res[4]),
-            res[5],
+            res[3].reshape(-1)[:n],
+            res[4],
         )
-    lanes = [r.reshape(-1)[:n] for r in res[:5]]
+    lanes = [r.reshape(-1)[:n] for r in res[:4]]
     lanes[1] = lanes[1].astype(TIMER_DTYPE)
-    return tuple(lanes) + (res[5],)
+    return tuple(lanes) + (res[4],)
