@@ -41,20 +41,26 @@ HALO = 32  # rows; >= ceil(max_household_size / 1) elements of flat halo
 
 
 class CitizenStatics(NamedTuple):
-    """Static world lanes prepared for the kernel: padded to whole rows and
-    reshaped (rows, 128).  Build once per chunk via make_citizen_statics."""
+    """Static world lanes for the kernel, BIT-PACKED to cut its DMA
+    roofline (the statics are over half the kernel's HBM traffic): 11 s8
+    lanes become 5.  Padded to whole rows and reshaped (rows, 128); build
+    once per chunk via make_citizen_statics.
 
-    work_start: jnp.ndarray      # int8
-    work_end: jnp.ndarray        # int8
-    uses_transport: jnp.ndarray  # bool
-    mask_compliant: jnp.ndarray  # bool
-    work_neq_home: jnp.ndarray   # bool, work_building != home_building
-    same_oa: jnp.ndarray         # bool, work_oa == home_oa
-    hh_pos: jnp.ndarray          # int8 position within household
-    hh_size: jnp.ndarray         # int8 household size
-    ws_work_start: jnp.ndarray   # int8, work-order twin lanes
-    ws_work_end: jnp.ndarray
-    ws_uses_transport: jnp.ndarray
+    Layouts (work hours 0-24 and household fields < 32 fit 5 bits; the
+    fused-kernel gate requires max_household_size <= 24):
+
+    * ``a`` (halo): work_start | uses_transport<<5 | work_neq_home<<6
+    * ``b`` (halo): work_end | (hh_pos & 7)<<5
+    * ``c`` (halo): (hh_pos >> 3) | hh_size<<2
+    * ``d`` (center): ws_work_start | mask_compliant<<5 | same_oa<<6
+    * ``e`` (center): ws_work_end | ws_uses_transport<<5
+    """
+
+    a: jnp.ndarray  # int8
+    b: jnp.ndarray  # int8
+    c: jnp.ndarray  # int8
+    d: jnp.ndarray  # int8
+    e: jnp.ndarray  # int8
 
 
 def _pad_rows(x, rows, fill=0):
@@ -66,23 +72,29 @@ def _pad_rows(x, rows, fill=0):
 
 
 def make_citizen_statics(world) -> CitizenStatics:
-    """jnp ops only; call once per chunk (outside the scan) so the pads are
-    loop-invariant."""
+    """jnp ops only; call once per chunk (outside the scan) so the pads and
+    bit-packs are loop-invariant."""
     n = world.n_citizens
     rows = pl.cdiv(n, LANES)
     p = functools.partial(_pad_rows, rows=rows)
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+    ws = i32(world.work_start)
+    we = i32(world.work_end)
+    uses = i32(world.uses_transport)
+    wneq = (world.work_building != world.home_building).astype(jnp.int32)
+    pos = i32(world.hh_pos)
+    size = i32(world.hh_size)
+    compliant = i32(world.mask_compliant)
+    same_oa = (world.work_oa == world.home_oa).astype(jnp.int32)
+    ws_ws = i32(world.ws_work_start)
+    ws_we = i32(world.ws_work_end)
+    ws_uses = i32(world.ws_uses_transport)
     return CitizenStatics(
-        work_start=p(jnp.asarray(world.work_start, jnp.int8)),
-        work_end=p(jnp.asarray(world.work_end, jnp.int8)),
-        uses_transport=p(jnp.asarray(world.uses_transport, jnp.int8)),
-        mask_compliant=p(jnp.asarray(world.mask_compliant, jnp.int8)),
-        work_neq_home=p((world.work_building != world.home_building).astype(jnp.int8)),
-        same_oa=p((world.work_oa == world.home_oa).astype(jnp.int8)),
-        hh_pos=p(jnp.asarray(world.hh_pos, jnp.int8)),
-        hh_size=p(jnp.asarray(world.hh_size, jnp.int8)),
-        ws_work_start=p(jnp.asarray(world.ws_work_start, jnp.int8)),
-        ws_work_end=p(jnp.asarray(world.ws_work_end, jnp.int8)),
-        ws_uses_transport=p(jnp.asarray(world.ws_uses_transport, jnp.int8)),
+        a=p((ws | (uses << 5) | (wneq << 6)).astype(jnp.int8)),
+        b=p((we | ((pos & 7) << 5)).astype(jnp.int8)),
+        c=p(((pos >> 3) | (size << 2)).astype(jnp.int8)),
+        d=p((ws_ws | (compliant << 5) | (same_oa << 6)).astype(jnp.int8)),
+        e=p((ws_we | (ws_uses << 5)).astype(jnp.int8)),
     )
 
 
@@ -115,14 +127,10 @@ def _movement(h24, move, ws, we, uses, at_work8, on_bus8):
 # conversions (docs/PERF.md xplane decomposition).
 _EXT_LANES = (
     "status", "timer", "sched",
-    "work_start", "work_end", "uses_transport", "work_neq_home",
-    "hh_pos", "hh_size",
+    "a", "b", "c",   # packed statics (CitizenStatics docstring)
 )
 # center-only lanes
-_CTR_LANES = (
-    "mask_compliant", "same_oa",
-    "ws_work_start", "ws_work_end", "ws_uses_transport",
-)
+_CTR_LANES = ("d", "e")
 
 # sched bit assignments (must match engine/state.py)
 SCHED_AT_WORK = 1
@@ -153,12 +161,17 @@ def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, refs):
     sched = ext(2).astype(jnp.int32)
     at_work8 = sched & 1
     on_bus8 = (sched >> 1) & 1
-    ws = ext(3).astype(jnp.int32)
-    we = ext(4).astype(jnp.int32)
-    uses = ext(5).astype(jnp.int32) != 0
-    wneq = ext(6).astype(jnp.int32) != 0
-    pos = ext(7).astype(jnp.int32)
-    size = ext(8).astype(jnp.int32)
+    # bit-packed statics (CitizenStatics docstring); decode in i32 — the
+    # shifts/ands are VPU-free next to the saved DMA lanes
+    pa = ext(3).astype(jnp.int32)
+    pb = ext(4).astype(jnp.int32)
+    pc = ext(5).astype(jnp.int32)
+    ws = pa & 31
+    uses = ((pa >> 5) & 1) != 0
+    wneq = ((pa >> 6) & 1) != 0
+    we = pb & 31
+    pos = ((pb >> 5) & 7) | ((pc & 3) << 3)
+    size = (pc >> 2) & 31
 
     # 1. disease timers (disease.rs:47-71)
     is_e = status == 1
@@ -209,11 +222,13 @@ def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, refs):
     btw8 = (sched_c >> 2) & 1
     at_work_ws8 = (sched_c >> 3) & 1
     on_bus_ws8 = (sched_c >> 4) & 1
-    compliant = ctr[0][:].astype(jnp.int32) != 0
-    same_oa = ctr[1][:].astype(jnp.int32) != 0
-    ws_ws = ctr[2][:].astype(jnp.int32)
-    ws_we = ctr[3][:].astype(jnp.int32)
-    ws_uses = ctr[4][:].astype(jnp.int32) != 0
+    pd = ctr[0][:].astype(jnp.int32)
+    pe = ctr[1][:].astype(jnp.int32)
+    ws_ws = pd & 31
+    compliant = ((pd >> 5) & 1) != 0
+    same_oa = ((pd >> 6) & 1) != 0
+    ws_we = pe & 31
+    ws_uses = ((pe >> 5) & 1) != 0
 
     btw1_8 = jnp.where(
         move, jnp.where(arm_bus_out_c, jnp.int32(1), jnp.int32(0)), btw8
@@ -377,14 +392,9 @@ def citizen_phase(
         )
     ext_arrays = [
         dyn[0], dyn[1], dyn[2],
-        statics.work_start, statics.work_end, statics.uses_transport,
-        statics.work_neq_home, statics.hh_pos, statics.hh_size,
+        statics.a, statics.b, statics.c,
     ]
-    ctr_arrays = [
-        statics.mask_compliant, statics.same_oa,
-        statics.ws_work_start, statics.ws_work_end,
-        statics.ws_uses_transport,
-    ]
+    ctr_arrays = [statics.d, statics.e]
 
     main = pl.BlockSpec(
         (block_rows, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM
