@@ -289,8 +289,10 @@ class SimConfig:
     #: sort), and a while-loop drains hits ``apply_sparse_slots`` at a time
     #: (exact at any count; >1 round only past K hits per step).  Requires
     #: the fused citizen kernel; incompatible with use_replicated_orders
-    #: (which carries its own delta transport).  None = auto: on whenever
-    #: the fused kernel runs and the replicated engine doesn't.
+    #: (which carries its own delta transport).  None = auto: on for
+    #: populations >= 16M (measured 63M mixed-regime 112 -> 73 ms/step);
+    #: off below (the compact/drain machinery loses to the small dense
+    #: apply at region scale: Y&H 3.3 -> 3.7 ms/step — docs/PERF.md).
     #: Trajectories are bitwise-identical to the dense apply.
     use_sparse_apply: bool | None = None
     #: Hits applied per scatter round of the sparse apply path.

@@ -177,11 +177,15 @@ def wants_sparse_apply(world: World, cfg: SimConfig, state: SimState) -> bool:
     kernel (which applies home hits in-pass and reports their count in
     partials[:, 7]) and the classic (non-replicated) formulation; the
     legacy no-OA-table per-OA recording branch still needs dense hit
-    lanes, so it opts out too.  Auto (None): on whenever eligible —
-    trajectories are bitwise-identical to the dense apply."""
+    lanes, so it opts out too.  Auto (None): on for populations >= 16M,
+    where the N-wide apply chains it removes dominate (63M mixed regime
+    112 -> 73 ms/step); off below, where the compact/drain machinery
+    costs more than the small dense apply (Y&H 3.3 -> 3.7 ms/step,
+    measured in both lockdown and moving regimes — docs/PERF.md).
+    Trajectories are bitwise-identical to the dense apply either way."""
     sa = cfg.use_sparse_apply
     if sa is None:
-        sa = True
+        sa = world.n_citizens >= 16_000_000
     return (
         bool(sa)
         and wants_fused_citizen(world, cfg)
