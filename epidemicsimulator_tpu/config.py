@@ -289,11 +289,16 @@ class SimConfig:
     #: sort), and a while-loop drains hits ``apply_sparse_slots`` at a time
     #: (exact at any count; >1 round only past K hits per step).  Requires
     #: the fused citizen kernel; incompatible with use_replicated_orders
-    #: (which carries its own delta transport).  None = auto: on for
-    #: populations >= 16M (measured 63M mixed-regime 112 -> 73 ms/step);
-    #: off below (the compact/drain machinery loses to the small dense
-    #: apply at region scale: Y&H 3.3 -> 3.7 ms/step — docs/PERF.md).
-    #: Trajectories are bitwise-identical to the dense apply.
+    #: (which carries its own delta transport).  The trade is
+    #: regime-dependent: at 63M sparse wins moving hours (112 -> 73
+    #: ms/step mixed regime) but loses lockdown hours (6.0 -> 11.1 — the
+    #: K-scatters cost ~5 ms/step of full-lane operand copies even at
+    #: zero hits), and at Y&H dense wins both regimes.  None = auto:
+    #: dense here, with ``engine.scan.run`` dispatching per chunk between
+    #: the dense and sparse executables for populations >=
+    #: ``scan.ADAPTIVE_SPARSE_MIN_N`` (lockdown -> dense, moving ->
+    #: sparse; docs/PERF.md).  Trajectories are bitwise-identical either
+    #: way, so dispatch never changes results.
     use_sparse_apply: bool | None = None
     #: Hits applied per scatter round of the sparse apply path.
     apply_sparse_slots: int = 8192

@@ -177,15 +177,21 @@ def wants_sparse_apply(world: World, cfg: SimConfig, state: SimState) -> bool:
     kernel (which applies home hits in-pass and reports their count in
     partials[:, 7]) and the classic (non-replicated) formulation; the
     legacy no-OA-table per-OA recording branch still needs dense hit
-    lanes, so it opts out too.  Auto (None): on for populations >= 16M,
-    where the N-wide apply chains it removes dominate (63M mixed regime
-    112 -> 73 ms/step); off below, where the compact/drain machinery
-    costs more than the small dense apply (Y&H 3.3 -> 3.7 ms/step,
-    measured in both lockdown and moving regimes — docs/PERF.md).
-    Trajectories are bitwise-identical to the dense apply either way."""
+    lanes, so it opts out too.
+
+    The trade is REGIME-dependent, not just scale-dependent (docs/PERF.md):
+    at 63M the sparse apply wins moving hours big (112 -> 73 ms/step mixed
+    regime) but LOSES lockdown hours (6.0 -> 11.1 ms/step — its K-bounded
+    scatters and drain loops cost ~5 ms/step of XLA full-lane operand
+    copies even at zero hits), and at Y&H it loses in both regimes.  Auto
+    (None) therefore resolves to the dense apply here; ``engine.scan.run``
+    layers regime-adaptive dispatch on top for big worlds (dense executable
+    while lockdown holds, sparse once movement resumes) — the two
+    formulations are bitwise-identical, so switching per chunk is free of
+    semantic risk."""
     sa = cfg.use_sparse_apply
     if sa is None:
-        sa = world.n_citizens >= 16_000_000
+        sa = False
     return (
         bool(sa)
         and wants_fused_citizen(world, cfg)

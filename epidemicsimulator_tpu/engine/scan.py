@@ -35,6 +35,44 @@ def world_signature(world: World):
 
 _RUNNER_CACHE: dict = {}
 
+#: Population floor for regime-adaptive sparse-apply dispatch in :func:`run`.
+#: Below this the dense apply wins every regime (docs/PERF.md) and only one
+#: executable is built.
+ADAPTIVE_SPARSE_MIN_N = 16_000_000
+
+
+def adaptive_sparse_runners(world: World, cfg: SimConfig, state: SimState):
+    """``(fn_lockdown, fn_moving)`` chunk runners for regime-adaptive
+    dispatch, or ``None`` when a single executable is the right answer.
+
+    The sparse apply (SimConfig.use_sparse_apply) wins moving hours at UK
+    scale (63M mixed regime 112 -> 73 ms/step) but loses lockdown hours
+    (6.0 -> 11.1 — its K-bounded scatters pay full-lane operand copies even
+    at zero hits).  Both formulations are bitwise-identical, so :func:`run`
+    picks per chunk off the host-visible lockdown flag it already
+    materialises.  Only applies when ``cfg.use_sparse_apply`` is None
+    (explicit settings pin one executable) and the sparse path is actually
+    eligible (fused kernel, non-replicated engine).  Runners compile
+    lazily, so a run that never leaves one regime never builds the other
+    executable.
+    """
+    if cfg.use_sparse_apply is not None:
+        return None
+    if world.n_citizens < ADAPTIVE_SPARSE_MIN_N:
+        return None
+    import dataclasses as _dc
+
+    from .fastpath import wants_sparse_apply
+
+    cfg_sparse = _dc.replace(cfg, use_sparse_apply=True)
+    if not wants_sparse_apply(world, cfg_sparse, state):
+        return None
+    cfg_dense = _dc.replace(cfg, use_sparse_apply=False)
+    return (
+        make_chunk_runner(world, cfg_dense),
+        make_chunk_runner(world, cfg_sparse),
+    )
+
 
 def make_chunk_runner(world: World, cfg: SimConfig):
     """Returns ``chunk(params, state) -> (state, StepOutput[chunk])``.
@@ -210,8 +248,17 @@ def run(
     tm.setdefault("sync", 0.0)
     tm.setdefault("callback", 0.0)
 
-    chunk_fn = make_chunk_runner(world, cfg)
+    adaptive = adaptive_sparse_runners(world, cfg, state)
+    if adaptive is None:
+        chunk_fn = make_chunk_runner(world, cfg)
     params = params.as_arrays()
+
+    # Regime bit for adaptive dispatch: the lockdown flag of the last
+    # materialised step.  Under overlap this trails the dispatch frontier by
+    # up to two chunks — the wrong-regime cost after a transition is bounded
+    # and both executables produce bitwise-identical trajectories.  The
+    # initial value reads the (host-visible) carry scalar.
+    lockdown_now = bool(jax.device_get(state.lockdown))
 
     chunks = []
     steps_dispatched = 0
@@ -231,8 +278,9 @@ def run(
         return out
 
     def _consume(out, out_state):
-        nonlocal steps_seen
+        nonlocal steps_seen, lockdown_now
         prev = _materialise(out)
+        lockdown_now = bool(prev.lockdown[-1])
         chunks.append(prev)
         steps_seen += prev.seirv.shape[0]
         t0 = _time.perf_counter()
@@ -244,6 +292,8 @@ def run(
 
     while steps_dispatched < cfg.max_steps:
         t0 = _time.perf_counter()
+        if adaptive is not None:
+            chunk_fn = adaptive[0] if lockdown_now else adaptive[1]
         state, out = chunk_fn(params, state)
         steps_dispatched += cfg.chunk_size
         # Start DMAing this chunk's outputs while the host inspects the

@@ -1,0 +1,105 @@
+"""Regime-adaptive sparse-apply dispatch in engine.scan.run.
+
+Both formulations of the apply stage are bitwise-identical
+(tests/test_fused_citizen.py pins that at the step level); this pins the
+dispatch layer itself: run() switching executables mid-run off the
+host-visible lockdown flag produces the same trajectory as either fixed
+executable, and the dispatcher actually uses both across a lockdown
+transition.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from epidemicsimulator_tpu import Params, SimConfig, generate_synthetic_world
+from epidemicsimulator_tpu.engine import scan
+from epidemicsimulator_tpu.engine.state import init_state
+
+
+def _world():
+    return generate_synthetic_world(4000, n_output_areas=8, seed=3).device_put()
+
+
+def _params():
+    base = Params.covid()
+    # Aggressive disease + short timers so one short run crosses the
+    # lockdown threshold on the way up AND lifts it on the way down.
+    return Params(
+        dataclasses.replace(
+            base.disease, exposure_chance=0.02, exposed_time=4,
+            infected_time=12, vaccination_rate=0,
+        ),
+        dataclasses.replace(base.thresholds, lockdown=0.02, vaccination=-1.0),
+    )
+
+
+def _cfg(**kw):
+    return SimConfig(
+        max_steps=200, chunk_size=25,
+        use_fused_citizen=True, use_pallas_scans=True,  # interpret on CPU
+        record_exposures_per_oa=False,
+        **kw,
+    )
+
+
+def test_adaptive_dispatch_matches_fixed(monkeypatch):
+    monkeypatch.setattr(scan, "ADAPTIVE_SPARSE_MIN_N", 1)
+    world = _world()
+    params = _params()
+
+    runs = {}
+    for name, sparse in (("adaptive", None), ("dense", False), ("sparse", True)):
+        st = init_state(world, seed=0, starting_infected=20)
+        _, out = scan.run(world, params, _cfg(use_sparse_apply=sparse), st)
+        runs[name] = out
+
+    lock = np.asarray(runs["adaptive"].lockdown)
+    assert lock.any() and not lock.all(), (
+        "regime must transition within the run for this test to bite"
+    )
+    for name in ("dense", "sparse"):
+        np.testing.assert_array_equal(
+            np.asarray(runs["adaptive"].seirv), np.asarray(runs[name].seirv)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(runs["adaptive"].exposures_per_oa),
+            np.asarray(runs[name].exposures_per_oa),
+        )
+
+
+def test_adaptive_dispatch_uses_both_executables(monkeypatch):
+    monkeypatch.setattr(scan, "ADAPTIVE_SPARSE_MIN_N", 1)
+    world = _world()
+    st = init_state(world, seed=0, starting_infected=20)
+    cfg = _cfg()
+
+    used = []
+    real = scan.make_chunk_runner
+
+    def spy(world_, cfg_):
+        fn = real(world_, cfg_)
+        if cfg_.use_sparse_apply is None:
+            return fn
+
+        def wrapped(params, state):
+            used.append(bool(cfg_.use_sparse_apply))
+            return fn(params, state)
+
+        return wrapped
+
+    monkeypatch.setattr(scan, "make_chunk_runner", spy)
+    scan.run(world, _params(), cfg, st)
+    assert True in used and False in used, used
+
+
+def test_adaptive_dispatch_disabled_below_floor():
+    world = _world()
+    st = init_state(world, seed=0, starting_infected=20)
+    assert scan.adaptive_sparse_runners(world, _cfg(), st) is None
+    # explicit settings pin one executable even above the floor
+    big = dataclasses.replace(world)
+    assert scan.adaptive_sparse_runners(
+        big, _cfg(use_sparse_apply=True), st
+    ) is None

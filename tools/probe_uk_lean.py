@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--chunk", type=int, default=200)
     ap.add_argument("--sparse", action="store_true",
                     help="force use_sparse_apply=True (newer trees only)")
+    ap.add_argument("--dense", action="store_true",
+                    help="force use_sparse_apply=False (newer trees only)")
     args = ap.parse_args()
 
     from epidemicsimulator_tpu.utils import enable_compilation_cache
@@ -55,6 +57,8 @@ def main():
     )
     if args.sparse:
         cfg = dataclasses.replace(cfg, use_sparse_apply=True)
+    if args.dense:
+        cfg = dataclasses.replace(cfg, use_sparse_apply=False)
     seed_inf = max(1, round(args.n * 20_000 / 3_457_142))
     st = init_state(world, seed=0, starting_infected=seed_inf)
     fn = make_chunk_runner(world, cfg)
