@@ -257,8 +257,24 @@ def run(
     # materialised step.  Under overlap this trails the dispatch frontier by
     # up to two chunks — the wrong-regime cost after a transition is bounded
     # and both executables produce bitwise-identical trajectories.  The
-    # initial value reads the (host-visible) carry scalar.
+    # initial value reads the (host-visible) carry scalar, upgraded by
+    # predicting step-1 lockdown from the seeded infected fraction
+    # (interventions.rs:114-128 threshold semantics) so a big-seed run's
+    # first chunks don't compile and run the moving executable for nothing.
     lockdown_now = bool(jax.device_get(state.lockdown))
+    if adaptive is not None and not lockdown_now:
+        try:
+            from ..config import STATUS_INFECTED
+
+            thr = float(jax.device_get(
+                jnp.asarray(params.thresholds.lockdown)))
+            if thr >= 0:
+                frac = float(jax.device_get(
+                    jnp.mean((state.status == STATUS_INFECTED)
+                             .astype(jnp.float32))))
+                lockdown_now = frac >= thr
+        except Exception:
+            pass
 
     chunks = []
     steps_dispatched = 0
