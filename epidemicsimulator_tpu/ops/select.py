@@ -37,6 +37,10 @@ _U32_MAX = np.uint32(0xFFFFFFFF)
 #: machinery needs a meaningful stride to pay off)
 MIN_SAMPLED_N = 1 << 22
 _SAMPLE_LOG2 = 20  # sample size 1M
+# Band compaction slots.  A/B'd at 63M/k=1530 (fresh selector, lean):
+# 8192 -> 32768 measured 10.28 -> 11.39 ms/step, identical trajectories —
+# the K-sized compact_positions gather grows faster than whatever
+# bisection fallbacks the wider band avoids.  Keep 8192.
 _BAND_SLOTS = 8192
 
 
