@@ -1,4 +1,5 @@
 # Convenience targets (tests force the CPU platform themselves)
+.PHONY: test bench dryrun native
 test:
 	python -m pytest tests/ -q
 

@@ -67,13 +67,30 @@ def _world_cache_path(args) -> str:
     return os.path.join(args.directory, f"world_{args.area}.npz")
 
 
+def _geometry_cache_path(args) -> str:
+    return os.path.join(args.directory, f"geometry_{args.area}.npz")
+
+
 def load_or_build_world(args):
+    """-> (World, WorldGeometry | None).
+
+    Geometry (OA rings + building scatter) is persisted in a sidecar npz
+    next to the world cache so --render/--visualise work on cached worlds
+    too (the reference re-reads the shapefile every run instead).
+    """
+    from .world.geometry import WorldGeometry, synthetic_geometry
     from .world.schema import World
 
     cache = _world_cache_path(args)
+    geo_cache = _geometry_cache_path(args)
     if args.use_cache and os.path.exists(cache):
         logging.info("loading cached world from %s", cache)
-        return World.load_npz(cache), None
+        geometry = (
+            WorldGeometry.load_npz(geo_cache)
+            if os.path.exists(geo_cache)
+            else None
+        )
+        return World.load_npz(cache), geometry
 
     if args.synthetic:
         from .world.synthetic import generate_synthetic_world
@@ -82,8 +99,11 @@ def load_or_build_world(args):
             args.synthetic, n_output_areas=max(4, args.synthetic // 300),
             seed=args.seed,
         )
-        world.save_npz(cache) if os.path.isdir(args.directory) else None
-        return world, None
+        geometry = synthetic_geometry(world, seed=args.seed)
+        if os.path.isdir(args.directory):
+            world.save_npz(cache)
+            geometry.save_npz(geo_cache)
+        return world, geometry
 
     # full pipeline: census CSVs + OSM pbf + OA shapefile
     from .data.census.container import load_census_data
@@ -125,7 +145,12 @@ def load_or_build_world(args):
     )
     world = build_world(census, osm, rings, starts, codes, seed=args.seed)
     world.save_npz(cache)
-    return world, (rings, starts)
+    geometry = WorldGeometry(
+        rings=rings, ring_starts=starts, codes=list(codes),
+        b_east=osm.east, b_north=osm.north, b_classes=osm.classes,
+    )
+    geometry.save_npz(geo_cache)
+    return world, geometry
 
 
 def main(argv=None) -> int:
@@ -163,14 +188,59 @@ def main(argv=None) -> int:
     world, geometry = load_or_build_world(args)
 
     if args.render or args.visualise or args.visualise_buildings:
-        from .viz.maps import draw_output_areas
-
-        out = args.output_name or f"{args.area}_map.png"
         if geometry is None:
-            logging.error("visualisation needs the boundary shapefile")
+            logging.error(
+                "visualisation needs geometry: rebuild the world once "
+                "without --use-cache (writes the geometry sidecar), or "
+                "pass --shapefile"
+            )
             return 1
-        rings, starts = geometry
-        draw_output_areas(out, rings, starts)
+
+        if args.visualise_buildings:
+            # classified building scatter (run/src/main.rs:214-232
+            # "raw_buildings.png")
+            from .viz.maps import draw_buildings
+
+            out = args.output_name or f"{args.area}_raw_buildings.png"
+            draw_buildings(
+                out, geometry.b_east, geometry.b_north, geometry.b_classes
+            )
+        elif args.visualise:
+            # polygons + building overlay (run/src/main.rs:263-288
+            # "BuildingsAndOutputAreas.png")
+            from .viz.maps import draw_buildings_and_output_areas
+
+            out = args.output_name or f"{args.area}_buildings_and_oas.png"
+            draw_buildings_and_output_areas(
+                out, geometry.rings, geometry.ring_starts,
+                geometry.b_east, geometry.b_north, geometry.b_classes,
+            )
+        else:
+            # value-coloured OA choropleth: buildings per OA / 100, the
+            # reference's BuildingDensity measure (run/src/main.rs:246-261),
+            # plus the citizen-graph stats print (visualise.rs:44-59).
+            from .viz.graphs import (
+                citizen_connections,
+                connected_components_count,
+            )
+            from .viz.maps import draw_output_areas
+            from .world.geometry import buildings_per_output_area
+
+            out = args.output_name or f"{args.area}_building_density.png"
+            density = buildings_per_output_area(world) / 100.0
+            draw_output_areas(
+                out, geometry.rings, geometry.ring_starts,
+                values=density[: geometry.n_polygons],
+                title="Building density",
+            )
+            g = citizen_connections(world)
+            print(
+                f"There are {g.number_of_nodes()} nodes and "
+                f"{g.number_of_edges()} edges"
+            )
+            print(
+                f"There are {connected_components_count(g)} connected groups"
+            )
         logging.info("wrote %s", out)
         return 0
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from ...errors import MissingDataError
 
 # NOMIS cell-code column maps (QS103EW: 0001=All, 0002.. = age 0..100;
 # KS608EW: 0001=All, 0002..0010 = occupations 1..9; KS101EW: usual residents
@@ -47,7 +48,9 @@ def _geography_column(df: pd.DataFrame) -> str:
     for cand in ("GeographyCode", "geography code", "geography_code", "mnemonic"):
         if cand in df.columns:
             return cand
-    raise ValueError(f"no geography column among {list(df.columns)[:6]}")
+    raise MissingDataError(
+        f"no geography column among {list(df.columns)[:6]}"
+    )
 
 
 def parse_bulk_age(path: str) -> pd.DataFrame:
@@ -67,7 +70,7 @@ def parse_bulk_age(path: str) -> pd.DataFrame:
         elif c == "Age: Age 100 and over; measures: Value":
             cols[c] = 100
     if not cols:
-        raise ValueError("no QS103 age columns found")
+        raise MissingDataError("no QS103 age columns found")
     rows = []
     for c, age_val in cols.items():
         rows.append(
@@ -90,7 +93,7 @@ def parse_bulk_occupation(path: str) -> pd.DataFrame:
         elif c in _KS608_DESCRIPTIVE:
             cols[c] = _KS608_DESCRIPTIVE[c]
     if not cols:
-        raise ValueError("no KS608 occupation columns found")
+        raise MissingDataError("no KS608 occupation columns found")
     rows = [
         pd.DataFrame(
             {"code": df[geo], "occupation": occ, "count": df[c].astype(int)}
@@ -118,7 +121,7 @@ def parse_bulk_population(path: str) -> pd.DataFrame:
         elif c in _KS101_DESCRIPTIVE:
             cols[c] = _KS101_DESCRIPTIVE[c]
     if not cols:
-        raise ValueError("no KS101 population columns found")
+        raise MissingDataError("no KS101 population columns found")
     rows = []
     for c, what in cols.items():
         cell = (

@@ -24,6 +24,7 @@ import os
 import numpy as np
 import pandas as pd
 
+from ...errors import MissingDataError, OutOfBoundsError
 from .tables import (
     AREA_CELL,
     DENSITY_CELL,
@@ -130,7 +131,7 @@ def parse_age_structure(path: str) -> pd.DataFrame:
     df = df[df["RURAL_URBAN_NAME"] == "Total"] if "RURAL_URBAN_NAME" in df else df
     age = df["C_AGE"].astype(int) - 1  # under-1 is C_AGE 1
     if (age > 100).any():
-        raise ValueError("age bin exceeds 100")
+        raise OutOfBoundsError("age bin", 100, int(age.max()))
     return pd.DataFrame(
         {
             "code": df["GEOGRAPHY_NAME"],
@@ -150,7 +151,7 @@ def parse_occupation(path: str) -> pd.DataFrame:
     occ = df["CELL_NAME"].map(OCCUPATION_CELL_NAMES)
     if occ.isna().any():
         bad = df["CELL_NAME"][occ.isna()].unique()[:5]
-        raise ValueError(f"unknown occupation cells: {bad}")
+        raise MissingDataError(f"unknown occupation cells: {bad}")
     return pd.DataFrame(
         {
             "code": df["GEOGRAPHY_NAME"],

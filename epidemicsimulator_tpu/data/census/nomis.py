@@ -14,6 +14,7 @@ import os
 import time
 
 from .tables import CensusTable, TABLE_SPECS
+from ...errors import NetworkError
 
 log = logging.getLogger(__name__)
 
@@ -29,13 +30,19 @@ GEOGRAPHY_CODES = {
 }
 
 
-def table_url(table: CensusTable, geography: str, offset: int = 0) -> str:
+def table_url(table: CensusTable, geography: str, index: int = 0) -> str:
+    """URL for page ``index`` — exact ``index * PAGE_SIZE`` offsets and
+    server-side header exclusion on continuation pages, matching
+    nomis_download.rs:229-234 (`RecordOffset=index*PAGE_SIZE` +
+    `ExcludeColumnHeadings=true` for index != 0)."""
     spec = TABLE_SPECS[table]
     params = [
         f"geography={geography}",
         f"recordlimit={PAGE_SIZE}",
-        f"RecordOffset={offset}",
+        f"RecordOffset={index * PAGE_SIZE}",
     ]
+    if index != 0:
+        params.append("ExcludeColumnHeadings=true")
     if spec.api_columns:
         params.append(f"select={spec.api_columns}")
     key = os.environ.get("NOMIS_API_KEY")
@@ -49,50 +56,40 @@ def download_table(
     geography: str,
     dest_path: str,
     *,
-    resume_from_row: int = 0,
+    resume_from_row: int | None = None,
     session=None,
 ) -> str:
     """Download all pages of ``table`` into ``dest_path``.
 
-    Appends when resuming (run/src/main.rs:200-211 --resume semantics).
-    Raises RuntimeError after MAX_RETRIES failures on a page.
+    Page-index driven like download_and_save_table
+    (nomis_download.rs:171-259): page ``index`` requests exact offset
+    ``index * PAGE_SIZE``; resume starts at page
+    ``resume_from_row // PAGE_SIZE`` and appends to the existing file
+    (run/src/main.rs:200-211 --resume semantics — page-granular, like the
+    reference); the loop ends on the first empty response body
+    (execute_request's ``data.is_empty()`` exit).  Raises
+    :class:`~epidemicsimulator_tpu.errors.NetworkError` after MAX_RETRIES
+    failures on a page.
     """
     import requests
 
     sess = session or requests.Session()
-    offset = resume_from_row
-    mode = "ab" if resume_from_row else "wb"
+    index = (resume_from_row or 0) // PAGE_SIZE
+    mode = "ab" if resume_from_row is not None else "wb"
     os.makedirs(os.path.dirname(dest_path) or ".", exist_ok=True)
 
-    # Continuation pages repeat the CSV header; strip it when it matches the
-    # header we already have (from the existing file on resume, or the first
-    # page otherwise).
-    header_line: bytes | None = None
-    if resume_from_row and os.path.exists(dest_path):
-        with open(dest_path, "rb") as f0:
-            header_line = f0.readline().rstrip(b"\r\n")
-
     with open(dest_path, mode) as f:
-        first_page = True
         while True:
-            url = table_url(table, geography, offset)
+            url = table_url(table, geography, index)
             body = _fetch_with_retry(sess, url)
             if not body:
                 break
-            first_nl = body.find(b"\n")
-            page_first = body[:first_nl].rstrip(b"\r") if first_nl >= 0 else body
-            if header_line is None:
-                header_line = page_first
-            elif not first_page or resume_from_row:
-                if page_first == header_line:
-                    body = body[first_nl + 1 :]
             f.write(body)
-            first_page = False
-            n_rows = body.count(b"\n")
-            log.info("fetched %d rows at offset %d for %s", n_rows, offset, table)
-            if n_rows < PAGE_SIZE:
-                break
-            offset += n_rows
+            log.info(
+                "fetched %d rows on page %d for %s",
+                body.count(b"\n"), index, table,
+            )
+            index += 1
     return dest_path
 
 
@@ -107,7 +104,9 @@ def _fetch_with_retry(sess, url: str) -> bytes:
         except Exception as e:  # noqa: BLE001
             last = e
         time.sleep(2**attempt)
-    raise RuntimeError(f"download failed after {MAX_RETRIES} retries: {last}")
+    raise NetworkError(
+        f"download failed after {MAX_RETRIES} retries: {last}"
+    )
 
 
 def download_all_tables(directory: str, area: str) -> None:

@@ -11,6 +11,7 @@ import os
 import subprocess
 
 import numpy as np
+from ...errors import ValueParsingError
 
 _LIB = None
 
@@ -81,7 +82,7 @@ def parse_pbf(path, bounds=(-90.0, 90.0, -180.0, 180.0)):
         ctypes.byref(areas), ctypes.byref(n),
     )
     if rc != 0:
-        raise RuntimeError(f"esucd_parse_pbf failed with code {rc}")
+        raise ValueParsingError(f"esucd_parse_pbf failed with code {rc}")
     count = n.value
     out = (
         np.ctypeslib.as_array(classes, (count,)).copy(),

@@ -12,6 +12,7 @@ import os
 import struct
 
 import numpy as np
+from ...errors import MismatchedDataError, MissingDataError, ShapeFileError
 
 SHAPE_POLYGON = 5
 
@@ -24,17 +25,15 @@ def read_polygons(shp_path: str, code_field: str = "code"):
     other OAs, resolved by first-match containment order as in the quadtree
     variant).
     """
-    codes = _read_dbf_codes(os.path.splitext(shp_path)[0] + ".dbf", code_field)
-
     rings = []
     starts = [0]
     with open(shp_path, "rb") as f:
         header = f.read(100)
         if len(header) < 100:
-            raise ValueError("truncated shapefile header")
+            raise ShapeFileError("truncated shapefile header")
         (magic,) = struct.unpack(">i", header[:4])
         if magic != 9994:
-            raise ValueError("not a shapefile")
+            raise ShapeFileError("not a shapefile")
         while True:
             rec = f.read(8)
             if len(rec) < 8:
@@ -47,7 +46,7 @@ def read_polygons(shp_path: str, code_field: str = "code"):
                 starts.append(starts[-1])
                 continue
             if shape_type != SHAPE_POLYGON:
-                raise ValueError(f"unsupported shape type {shape_type}")
+                raise ShapeFileError(f"unsupported shape type {shape_type}")
             num_parts, num_points = struct.unpack("<ii", content[36:44])
             parts = np.frombuffer(content, "<i4", num_parts, offset=44)
             pts = np.frombuffer(
@@ -58,9 +57,11 @@ def read_polygons(shp_path: str, code_field: str = "code"):
             rings.append(outer)
             starts.append(starts[-1] + len(outer))
 
+    codes = _read_dbf_codes(os.path.splitext(shp_path)[0] + ".dbf", code_field)
     if len(codes) != len(starts) - 1:
-        raise ValueError(
-            f"dbf has {len(codes)} records but shp has {len(starts) - 1} shapes"
+        raise MismatchedDataError(
+            "dbf record count vs shp shape count",
+            len(codes), len(starts) - 1,
         )
     all_rings = (
         np.concatenate(rings, axis=0) if rings else np.zeros((0, 2))
@@ -98,7 +99,7 @@ def _read_dbf_codes(dbf_path: str, field_name: str) -> list[str]:
                     target = i
                     break
         if target is None:
-            raise ValueError(f"no code field among {names}")
+            raise MissingDataError(f"no code field among {names}")
 
         offsets = np.cumsum([1] + [l for _, l in fields])
         off, ln = offsets[target], fields[target][1]

@@ -14,6 +14,7 @@ full 5000 steps, and live ones amortise dispatch overhead across the chunk.
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -272,9 +273,14 @@ def run(
                 frac = float(jax.device_get(
                     jnp.mean((state.status == STATUS_INFECTED)
                              .astype(jnp.float32))))
-                lockdown_now = frac >= thr
-        except Exception:
-            pass
+                # Strict comparison to mirror step.py's `th.lockdown < pct`
+                # (interventions.rs:114 `threshold < percentage_infected`).
+                lockdown_now = thr < frac
+        except (AttributeError, TypeError) as e:
+            # Perf-only heuristic: a refactor that renames the fields it
+            # touches must not break runs, but should not go unnoticed.
+            logging.getLogger(__name__).debug(
+                "step-1 lockdown prediction skipped: %s", e)
 
     chunks = []
     steps_dispatched = 0

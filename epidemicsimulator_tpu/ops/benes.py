@@ -70,18 +70,18 @@ def route_permutation(src: np.ndarray) -> tuple[np.ndarray, int]:
         ctypes.POINTER(ctypes.c_uint8),
     ]
     n_stages = 2 * k - 1
-    ctrl = np.zeros((n_stages, n2), np.uint8)
+    # the native router writes bit-packed groups directly (8 stages/byte),
+    # so no unpacked (2k-1, n) transient is ever allocated (~3.4 GB at
+    # 2^26 unpacked vs ~430 MB packed)
+    groups = (n_stages + 7) // 8
+    packed = np.zeros((groups, n2), np.uint8)
     rc = lib.esucd_benes_route(
         full.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         k,
-        ctrl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     if rc != 0:
         raise ValueError("not a bijection")
-    groups = (n_stages + 7) // 8
-    packed = np.zeros((groups, n2), np.uint8)
-    for j in range(n_stages):
-        packed[j // 8] |= (ctrl[j] & 1) << (j % 8)
     return packed, k
 
 

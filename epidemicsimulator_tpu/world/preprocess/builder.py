@@ -55,6 +55,7 @@ from ...data.osm.native import (
     assign_points_to_polygons,
 )
 from ..schema import World, make_world
+from ...errors import SimInitializationError
 
 log = logging.getLogger(__name__)
 
@@ -245,7 +246,7 @@ def build_world(
                 ]
             )
             if len(class_teachers) < n_classes:
-                raise ValueError(
+                raise SimInitializationError(
                     f"cannot staff {n_classes} classes with "
                     f"{len(class_teachers)} teachers"
                 )

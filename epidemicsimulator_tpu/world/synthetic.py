@@ -149,7 +149,95 @@ def generate_synthetic_world(
     uniq, inv = _unique_sorted(pair)  # b_sorted sorted, slot rises within run
     n_workplaces = len(uniq)
 
-    # --- schools ----------------------------------------------------------
+    schools = build_schools(
+        age=age, occ=occ, home_oa=home_oa, work_oa=work_oa,
+        is_student=is_student, is_worker=is_worker, n_oa=n_oa,
+        oas_per_school=oas_per_school,
+    )
+
+    # --- assemble global building table ----------------------------------
+    # ids: [households | workplaces | schools]
+    workplace_base = n_households
+    school_base = workplace_base + n_workplaces
+    n_buildings = school_base + schools.n_schools
+
+    home_building = household.astype(np.int32)
+    work_building = home_building.copy()  # unemployed default: work == home
+    work_oa_final = home_oa.copy()
+
+    work_building[w_sorted] = (workplace_base + inv).astype(np.int32)
+    work_oa_final[w_sorted] = work_oa[w_sorted]
+
+    room, is_school_work = schools.apply(
+        work_building, work_oa_final, school_base
+    )
+
+    return make_world(
+        age=age,
+        occupation=occ,
+        home_building=home_building,
+        work_building=work_building,
+        home_oa=home_oa,
+        work_oa=work_oa_final,
+        room=room,
+        is_school_work=is_school_work,
+        uses_transport=uses_transport,
+        mask_compliant=mask_compliant,
+        n_buildings=n_buildings,
+        n_rooms=schools.n_rooms,
+        n_output_areas=n_oa,
+    )
+
+
+class SchoolAssignment:
+    """School/class/office assignment shared by the synthetic generators
+    (the reference's build_schools phase, simulator_builder.rs:265-710):
+    classes of ~26.6 students per (school, age), one teacher per class drawn
+    from Teaching-occupation workers, leftovers in 12-person offices."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+    def apply(self, work_building, work_oa_final, school_base):
+        """Write school workers into the building/room lanes.  Mutates
+        ``work_building``/``work_oa_final``; returns (room, is_school_work).
+        """
+        n = len(work_building)
+        room = np.full(n, self.n_rooms, np.int32)
+        is_school_work = np.zeros(n, np.bool_)
+
+        work_building[self.s_sorted] = (
+            school_base + self.school_of_class[self.class_id]
+        ).astype(np.int32)
+        work_oa_final[self.s_sorted] = self.school_oa[
+            self.school_of_class[self.class_id]
+        ]
+        room[self.s_sorted] = self.class_id.astype(np.int32)
+        is_school_work[self.s_sorted] = True
+
+        work_building[self.class_teachers] = (
+            school_base + self.school_of_class[self.teacher_class]
+        ).astype(np.int32)
+        work_oa_final[self.class_teachers] = self.school_oa[
+            self.school_of_class[self.teacher_class]
+        ]
+        room[self.class_teachers] = self.teacher_class.astype(np.int32)
+        is_school_work[self.class_teachers] = True
+
+        if len(self.leftover):
+            work_building[self.leftover] = (
+                school_base + self.leftover_school
+            ).astype(np.int32)
+            work_oa_final[self.leftover] = self.school_oa[self.leftover_school]
+            room[self.leftover] = self.leftover_room.astype(np.int32)
+            is_school_work[self.leftover] = True
+        return room, is_school_work
+
+
+def build_schools(
+    *, age, occ, home_oa, work_oa, is_student, is_worker, n_oa,
+    oas_per_school,
+) -> SchoolAssignment:
     n_schools = max(1, (n_oa + oas_per_school - 1) // oas_per_school)
     school_of_oa = (np.arange(n_oa) // oas_per_school).astype(np.int32)
     school_oa = (np.arange(n_schools, dtype=np.int32) * oas_per_school).clip(
@@ -222,7 +310,9 @@ def generate_synthetic_world(
         class_teachers = np.concatenate([class_teachers, conscripts])
         teacher_class = np.concatenate([teacher_class, conscript_class])
         if len(class_teachers) < n_classes:
-            raise ValueError(
+            from ..errors import SimInitializationError
+
+            raise SimInitializationError(
                 f"synthetic world cannot staff {n_classes} classes with "
                 f"{len(class_teachers)} teachers"
             )
@@ -242,54 +332,16 @@ def generate_synthetic_world(
     leftover_room = office_base[leftover_school] + office_in_school
     n_rooms = int(n_classes + offices_per_school.sum())
 
-    # --- assemble global building table ----------------------------------
-    # ids: [households | workplaces | schools]
-    workplace_base = n_households
-    school_base = workplace_base + n_workplaces
-    n_buildings = school_base + n_schools
-
-    home_building = household.astype(np.int32)
-    work_building = home_building.copy()  # unemployed default: work == home
-    work_oa_final = home_oa.copy()
-
-    work_building[w_sorted] = (workplace_base + inv).astype(np.int32)
-    work_oa_final[w_sorted] = work_oa[w_sorted]
-
-    room = np.full(n, n_rooms, np.int32)
-    is_school_work = np.zeros(n, np.bool_)
-
-    work_building[s_sorted] = (school_base + school_of_class[class_id]).astype(
-        np.int32
-    )
-    work_oa_final[s_sorted] = school_oa[school_of_class[class_id]]
-    room[s_sorted] = class_id.astype(np.int32)
-    is_school_work[s_sorted] = True
-
-    work_building[class_teachers] = (
-        school_base + school_of_class[teacher_class]
-    ).astype(np.int32)
-    work_oa_final[class_teachers] = school_oa[school_of_class[teacher_class]]
-    room[class_teachers] = teacher_class.astype(np.int32)
-    is_school_work[class_teachers] = True
-
-    if len(leftover):
-        work_building[leftover] = (school_base + leftover_school).astype(np.int32)
-        work_oa_final[leftover] = school_oa[leftover_school]
-        room[leftover] = leftover_room.astype(np.int32)
-        is_school_work[leftover] = True
-
-    return make_world(
-        age=age,
-        occupation=occ,
-        home_building=home_building,
-        work_building=work_building,
-        home_oa=home_oa,
-        work_oa=work_oa_final,
-        room=room,
-        is_school_work=is_school_work,
-        uses_transport=uses_transport,
-        mask_compliant=mask_compliant,
-        n_buildings=n_buildings,
+    return SchoolAssignment(
+        n_schools=n_schools,
         n_rooms=n_rooms,
-        n_output_areas=n_oa,
+        school_oa=school_oa,
+        school_of_class=school_of_class,
+        s_sorted=s_sorted,
+        class_id=class_id,
+        class_teachers=class_teachers,
+        teacher_class=teacher_class,
+        leftover=leftover,
+        leftover_school=leftover_school,
+        leftover_room=leftover_room,
     )

@@ -472,10 +472,18 @@ extern "C" {
 // stage is an involution).
 //
 // `src` is the gather permutation (a bijection on [0, n)); `ctrl` receives
-// (2k-1) * n bytes (0/1).  Returns 0 on success, 1 if src is not a
-// bijection.  Classic Waksman looping algorithm, O(n) per level; the
-// TPU-side replay is ops/benes.py (replaces the hot loop's packed u32
-// permutation sorts, docs/PERF.md).
+// the control bits BIT-PACKED, 8 stages per byte: stage j's bit for
+// element i lives at bit (j % 8) of ctrl[(j / 8) * n + i].  The caller
+// must pass ceil((2k-1)/8) * n ZEROED bytes (packing directly avoids the
+// unpacked (2k-1, n) transient — ~3.4 GB at 2^26 vs ~430 MB packed).
+// Returns 0 on success, 1 if src is not a bijection.  Classic Waksman
+// looping algorithm, O(n) per level; the TPU-side replay is ops/benes.py
+// (replaces the hot loop's packed u32 permutation sorts, docs/PERF.md).
+
+static inline void esucd_ctrl_bit(uint8_t* p, int shift, uint8_t v) {
+  *p = uint8_t((*p & ~(uint8_t(1) << shift)) | (uint8_t(v) << shift));
+}
+
 int esucd_benes_route(const int32_t* src, int32_t k, uint8_t* ctrl) {
   const int64_t n = int64_t(1) << k;
   const int32_t n_stages = 2 * k - 1;
@@ -489,8 +497,11 @@ int esucd_benes_route(const int32_t* src, int32_t k, uint8_t* ctrl) {
   for (int32_t lvl = 0; lvl < k - 1; lvl++) {
     const int64_t m = int64_t(1) << (k - lvl);  // block size at this level
     const int64_t h = m >> 1;                   // stage XOR distance
-    uint8_t* first = ctrl + int64_t(lvl) * n;
-    uint8_t* last = ctrl + int64_t(n_stages - 1 - lvl) * n;
+    uint8_t* first = ctrl + int64_t(lvl / 8) * n;
+    const int fbit = lvl % 8;
+    const int32_t lstage = n_stages - 1 - lvl;
+    uint8_t* last = ctrl + int64_t(lstage / 8) * n;
+    const int lbit = lstage % 8;
     for (int64_t p = 0; p < n; p += m) {
       const int32_t* s = cur.data() + p;   // out -> in, relative to block
       int32_t* d = dst.data();             // in -> out scratch
@@ -507,12 +518,14 @@ int esucd_benes_route(const int32_t* src, int32_t k, uint8_t* ctrl) {
           // route output o through U/L
           r[o] = 1;
           const int64_t po = o & (h - 1);
-          last[p + po] = last[p + po + h] =
-              viaU ? uint8_t(o >= h) : uint8_t(o < h);
+          const uint8_t lv = viaU ? uint8_t(o >= h) : uint8_t(o < h);
+          esucd_ctrl_bit(&last[p + po], lbit, lv);
+          esucd_ctrl_bit(&last[p + po + h], lbit, lv);
           const int64_t i = s[o];
           const int64_t pi = i & (h - 1);
-          first[p + pi] = first[p + pi + h] =
-              viaU ? uint8_t(i >= h) : uint8_t(i < h);
+          const uint8_t fv = viaU ? uint8_t(i >= h) : uint8_t(i < h);
+          esucd_ctrl_bit(&first[p + pi], fbit, fv);
+          esucd_ctrl_bit(&first[p + pi + h], fbit, fv);
           (viaU ? subU : subL)[po] = int32_t(pi);
           // the partner INPUT i^h must take the other subnetwork: route
           // its output, then continue the walk at that output's pair
@@ -522,12 +535,14 @@ int esucd_benes_route(const int32_t* src, int32_t k, uint8_t* ctrl) {
             r[o2] = 1;
             const int64_t po2 = o2 & (h - 1);
             const bool via2 = !viaU;
-            last[p + po2] = last[p + po2 + h] =
-                via2 ? uint8_t(o2 >= h) : uint8_t(o2 < h);
+            const uint8_t lv2 = via2 ? uint8_t(o2 >= h) : uint8_t(o2 < h);
+            esucd_ctrl_bit(&last[p + po2], lbit, lv2);
+            esucd_ctrl_bit(&last[p + po2 + h], lbit, lv2);
             const int64_t i2 = s[o2];
             const int64_t pi2 = i2 & (h - 1);
-            first[p + pi2] = first[p + pi2 + h] =
-                via2 ? uint8_t(i2 >= h) : uint8_t(i2 < h);
+            const uint8_t fv2 = via2 ? uint8_t(i2 >= h) : uint8_t(i2 < h);
+            esucd_ctrl_bit(&first[p + pi2], fbit, fv2);
+            esucd_ctrl_bit(&first[p + pi2 + h], fbit, fv2);
             (via2 ? subU : subL)[po2] = int32_t(pi2);
           }
           o = o2 ^ h;  // output partner of o2: takes viaU again
@@ -537,9 +552,12 @@ int esucd_benes_route(const int32_t* src, int32_t k, uint8_t* ctrl) {
     cur.swap(nxt);
   }
   // base blocks of size 2: the middle stage (level k-1, distance 1)
-  uint8_t* mid = ctrl + int64_t(k - 1) * n;
+  uint8_t* mid = ctrl + int64_t((k - 1) / 8) * n;
+  const int mbit = (k - 1) % 8;
   for (int64_t p = 0; p < n; p += 2) {
-    mid[p] = mid[p + 1] = uint8_t(cur[p] == 1);
+    const uint8_t mv = uint8_t(cur[p] == 1);
+    esucd_ctrl_bit(&mid[p], mbit, mv);
+    esucd_ctrl_bit(&mid[p + 1], mbit, mv);
   }
   return 0;
 }

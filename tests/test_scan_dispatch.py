@@ -94,12 +94,19 @@ def test_adaptive_dispatch_uses_both_executables(monkeypatch):
     assert True in used and False in used, used
 
 
-def test_adaptive_dispatch_disabled_below_floor():
+def test_adaptive_dispatch_disabled_below_floor(monkeypatch):
     world = _world()
     st = init_state(world, seed=0, starting_infected=20)
     assert scan.adaptive_sparse_runners(world, _cfg(), st) is None
-    # explicit settings pin one executable even above the floor
-    big = dataclasses.replace(world)
+    # explicit settings pin one executable even above the floor: drop the
+    # floor below this world's size so the explicit-setting early return is
+    # the branch actually exercised (not the population-floor one).
+    monkeypatch.setattr(scan, "ADAPTIVE_SPARSE_MIN_N", 1)
     assert scan.adaptive_sparse_runners(
-        big, _cfg(use_sparse_apply=True), st
+        world, _cfg(use_sparse_apply=True), st
     ) is None
+    assert scan.adaptive_sparse_runners(
+        world, _cfg(use_sparse_apply=False), st
+    ) is None
+    # and with no explicit setting, the adaptive pair is produced above floor
+    assert scan.adaptive_sparse_runners(world, _cfg(), st) is not None

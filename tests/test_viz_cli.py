@@ -113,6 +113,68 @@ def test_cli_synthetic_simulate(tmp_path):
     assert len(json.load(open(out + os.sep + "memory.json"))) == 48
 
 
+def test_cli_visualise_modes(tmp_path, capsys):
+    """All three visualise modes work through cli.main — including on a
+    CACHED world (geometry sidecar), which the reference cannot do
+    (run/src/main.rs:214-318 re-reads the shapefile every run)."""
+    from epidemicsimulator_tpu.cli import main
+
+    # first run builds world + geometry sidecar
+    out1 = str(tmp_path / "density.png")
+    rc = main(
+        [
+            "demo", "--synthetic", "2000", "--render",
+            "--directory", str(tmp_path), "--output-name", out1,
+        ]
+    )
+    assert rc == 0
+    assert os.path.getsize(out1) > 1000
+    stats = capsys.readouterr().out
+    assert "nodes and" in stats and "edges" in stats
+    assert "connected groups" in stats
+    assert (tmp_path / "geometry_demo.npz").exists()
+
+    # cached world: buildings scatter + overlay modes
+    out2 = str(tmp_path / "buildings.png")
+    rc = main(
+        [
+            "demo", "--synthetic", "2000", "--visualise-buildings",
+            "--use-cache", "--directory", str(tmp_path),
+            "--output-name", out2,
+        ]
+    )
+    assert rc == 0 and os.path.getsize(out2) > 1000
+
+    out3 = str(tmp_path / "overlay.png")
+    rc = main(
+        [
+            "demo", "--synthetic", "2000", "--visualise", "--use-cache",
+            "--directory", str(tmp_path), "--output-name", out3,
+        ]
+    )
+    assert rc == 0 and os.path.getsize(out3) > 1000
+
+
+def test_buildings_per_output_area():
+    from epidemicsimulator_tpu.world.geometry import buildings_per_output_area
+
+    w = generate_synthetic_world(3000, n_output_areas=6, seed=0)
+    counts = buildings_per_output_area(w)
+    assert counts.shape == (6,)
+    assert counts.sum() > 0
+    # every distinct home/work building is counted exactly once
+    import numpy as np
+
+    total_buildings = len(
+        np.unique(
+            np.concatenate(
+                [np.asarray(w.home_building), np.asarray(w.work_building)]
+            )
+        )
+    )
+    assert counts.sum() >= total_buildings  # >= : a building serving two OAs
+
+
 def test_cli_download_url_only(tmp_path, monkeypatch):
     # no network in this environment: assert the downloader wiring produces
     # the right requests without performing them
