@@ -14,6 +14,7 @@ from .engine.state import SimState, init_state
 from .engine.step import step
 from .world.schema import World, make_world
 from .engine.ensemble import run_ensemble
+from .world.census_like import generate_census_like_world
 from .world.synthetic import generate_synthetic_world
 from .world.device_build import (
     build_tables_device,
@@ -30,6 +31,7 @@ __all__ = [
     "SimState",
     "Simulator",
     "World",
+    "generate_census_like_world",
     "generate_synthetic_world",
     "generate_synthetic_world_device",
     "build_tables_device",

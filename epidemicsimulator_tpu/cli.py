@@ -47,6 +47,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--visualise", action="store_true")
     p.add_argument("--visualise-buildings", action="store_true")
     p.add_argument("--synthetic", type=int, default=None, metavar="N_CITIZENS")
+    p.add_argument("--census-like", action="store_true",
+                   help="with --synthetic: census-shaped structure (England "
+                        "age pyramid, KS608 occupations, hub commuting, "
+                        "lognormal workplaces) instead of the toy generator")
     p.add_argument("--output-name", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-steps", type=int, default=5000)
@@ -63,12 +67,18 @@ def make_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _cache_suffix(args) -> str:
+    return "_censuslike" if getattr(args, "census_like", False) else ""
+
+
 def _world_cache_path(args) -> str:
-    return os.path.join(args.directory, f"world_{args.area}.npz")
+    return os.path.join(args.directory, f"world_{args.area}{_cache_suffix(args)}.npz")
 
 
 def _geometry_cache_path(args) -> str:
-    return os.path.join(args.directory, f"geometry_{args.area}.npz")
+    return os.path.join(
+        args.directory, f"geometry_{args.area}{_cache_suffix(args)}.npz"
+    )
 
 
 def load_or_build_world(args):
@@ -93,9 +103,12 @@ def load_or_build_world(args):
         return World.load_npz(cache), geometry
 
     if args.synthetic:
-        from .world.synthetic import generate_synthetic_world
+        if getattr(args, "census_like", False):
+            from .world.census_like import generate_census_like_world as gen
+        else:
+            from .world.synthetic import generate_synthetic_world as gen
 
-        world = generate_synthetic_world(
+        world = gen(
             args.synthetic, n_output_areas=max(4, args.synthetic // 300),
             seed=args.seed,
         )
