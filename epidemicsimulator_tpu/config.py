@@ -165,6 +165,13 @@ class InterventionThresholds:
         )
 
 
+#: v1.6-era exposure chance, calibrated on the census-like York world (mega
+#: sites on) against the canonical artifact's trigger anatomy: at the 30%
+#: vaccination trigger, E/I 0.571 vs the artifact's 0.568, trigger hour 853
+#: vs 850, peak 87,542@949 vs 89,170@946 (docs/FIDELITY.md).
+V16_EXPOSURE_CHANCE = 0.003
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Params:
@@ -178,6 +185,49 @@ class Params:
     @staticmethod
     def covid() -> "Params":
         return Params(DiseaseParams.covid(), InterventionThresholds())
+
+    @staticmethod
+    def covid_v16() -> "Params":
+        """The reference's *v1.6-era* parameterisation, recovered from its
+        committed run logs (the v1.6 source itself is not in the repo).
+
+        Empirically pinned values (logs/v1.6_test.log +
+        logs/v1.6_no_jabs_timing_steps.log, 8 intervention transitions
+        across two runs, interpolated against the 50-step SEIRV prints):
+
+        * thresholds are **fractions of population infected** 100x today's:
+          masks-on-PT at 0.20 (20.0% / 20.6% observed), vaccination at 0.30
+          (28.8% / 30.8%), masks-everywhere at 0.40 (38.9% / 40.4%),
+          lockdown at 0.60 (59.8% observed; never reached in the canonical
+          York run, statistics_results/york_stats_results/v1.6) — which is
+          why v1.6 produced a full epidemic (peak 89,170 infected) while
+          v1.7.1's 0.0034 lockdown suppressed it at 2,315;
+        * vaccination rate ~1,700/step measured from the canonical
+          artifact's drain window (S falls 90,389->5,130 over h850-900
+          while V rises +84,777: 1,695.5/step) — i.e. the v1.6 constant
+          was ``85 * 20 = 1700`` where today's disease.rs:126 has
+          ``85 * 18``;
+        * first recovereds at hour ~336 and first infecteds at ~96 confirm
+          exposed_time/infected_time unchanged;
+        * ``exposure_chance`` is the one free parameter (the v1.6 source is
+          not recoverable); it is calibrated on the census-like York world
+          so the run reproduces the canonical artifact's *trigger anatomy*
+          — the SEIRV state when infected crosses the 30% vaccination
+          threshold (E/I ratio, ever-infected fraction, trigger hour) —
+          which pins peak size, peak hour and the final R/V split.  See
+          docs/FIDELITY.md for the calibration table and the multi-seed
+          envelope.
+        """
+        return Params(
+            DiseaseParams(exposure_chance=V16_EXPOSURE_CHANCE,
+                          vaccination_rate=1700),
+            InterventionThresholds(
+                lockdown=0.60,
+                vaccination=0.30,
+                mask_public_transport=0.20,
+                mask_everywhere=0.40,
+            ),
+        )
 
     def as_arrays(self) -> "Params":
         return Params(self.disease.as_arrays(), self.thresholds.as_arrays())

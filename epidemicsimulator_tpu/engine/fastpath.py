@@ -404,7 +404,16 @@ def fast_step(
             0.0,
         )
         susceptible = status == STATUS_SUSCEPTIBLE
-        hit_home = susceptible & (jax.random.uniform(k_h, (n,)) < q_home)
+        # Same counter-hash stream as the fused kernel (seed from k_h,
+        # indexed by citizen id): fused and non-fused home draws are
+        # bitwise-identical, and the sharded fast path reproduces them by
+        # hashing on its global-id lane (parallel/fastmesh.py).
+        from ..ops.hashrng import hash_uniform as _hu
+
+        seed_h = jax.random.bits(k_h, (), jnp.uint32)
+        hit_home = susceptible & (
+            _hu(seed_h, jnp.arange(n, dtype=jnp.uint32)) < q_home
+        )
 
         contrib_work = inf_active & at_work & work_neq_home
         # one merged gates lane (same layout as the fused kernel's):

@@ -71,8 +71,22 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
     sq = lambda x: x.reshape(x.shape[1:])  # drop the shard_map unit axis
     hour = state.hour + 1
     key = jax.random.fold_in(state.rng_key, hour)
-    key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
     k_bus, k_h, k_w, k_b, k_vax = jax.random.split(key, 5)
+    # Citizen-keyed draws hash (per-step seed, GLOBAL citizen / work-order
+    # id) — the same streams the single-device fast path draws
+    # (fastpath.py), so the sharded trajectory is bitwise-identical in
+    # fully stochastic regimes.  Only the bus machinery keeps per-shard
+    # keys: buses assemble shard-locally (the one documented divergence,
+    # FIDELITY.md).
+    seed_h = jax.random.bits(k_h, (), jnp.uint32)
+    seed_w = jax.random.bits(k_w, (), jnp.uint32)
+    seed_vax0 = jax.random.bits(k_vax, (), jnp.uint32)
+    me = jax.lax.axis_index(AXIS)
+    k_bus = jax.random.fold_in(k_bus, me)
+    k_b = jax.random.fold_in(k_b, me)
+    from ..ops.hashrng import hash_bits, hash_uniform
+
+    gid_u32 = sq(sw.global_id).astype(jnp.uint32)
 
     # 1. timers (disease.rs:47-71); PAD_STATUS citizens never transition
     status, timer = state.status, jnp.asarray(state.timer, jnp.int32)
@@ -128,7 +142,7 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
         ~at_work | same_oa, binomial_at_least_one(p_cit, trunc(n_h)), 0.0
     )
     susceptible = status == STATUS_SUSCEPTIBLE
-    hit_home = susceptible & (jax.random.uniform(k_h, (S,)) < q_home)
+    hit_home = susceptible & (hash_uniform(seed_h, gid_u32) < q_home)
 
     # 5-7. work side with ghost slots.  5 packed bits per participant.
     contrib_work = inf_active & at_work & wneq
@@ -174,7 +188,9 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
     q_work = jnp.where(
         gate, -jnp.expm1(draws.astype(jnp.float32) * jnp.log1p(-q_single)), 0.0
     )
-    hit_s = susc_s & (jax.random.uniform(k_w, (W,)) < q_work)
+    hit_s = susc_s & (
+        hash_uniform(seed_w, sq(sw.slot_ws_index).astype(jnp.uint32)) < q_work
+    )
     from_work_s = hit_s & ~hit_home_s
 
     # hits back: local participants via the inverse static sort; ghosts via
@@ -272,7 +288,11 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
     #     counts; shard-prefix tie allocation via all_gather.
     def vaccinate(args):
         status, eligible = args
-        scores = jax.random.bits(k_vax, (S,), dtype=jnp.uint32)
+        # same scores as fastpath's fresh_threshold selector (global-id
+        # keyed); the bisection finds the identical k-th threshold and the
+        # shard-prefix tie split equals the global cumsum rank order
+        # (shards are contiguous citizen ranges)
+        scores = hash_bits(seed_vax0, gid_u32)
         kk = jnp.minimum(
             jnp.asarray(d.vaccination_rate, jnp.int32),
             gsum(jnp.sum(eligible.astype(jnp.int32))),

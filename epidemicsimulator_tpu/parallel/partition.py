@@ -60,6 +60,9 @@ class ShardedWorld:
     slot_is_school: Any
     slot_mask_compliant: Any
     slot_same_oa: Any
+    slot_ws_index: Any      # int32: the participant's single-device work-
+                            # order position (world.wpos); keys the work
+                            # draw so sharded == single-device bitwise
     wb_start: Any           # bool, building-run boundaries among slots
     wb_end: Any
     room_start: Any
@@ -161,6 +164,9 @@ def partition_world(world: World, n_dev: int) -> ShardedWorld:
     slot_is_school = slot_lane(is_school[part_o], False, np.bool_)
     slot_compliant = slot_lane(compliant[part_o], False, np.bool_)
     slot_same = slot_lane((wo == ho)[part_o], False, np.bool_)
+    slot_ws_index = slot_lane(
+        np.asarray(world.wpos, np.int64)[part_o], n, np.int64
+    )
     slot_wb = slot_lane(wb[part_o], -1, np.int64)
     slot_pair = slot_lane(
         wb[part_o] * (world.n_rooms + 2) + rm[part_o], -1, np.int64
@@ -292,6 +298,7 @@ def partition_world(world: World, n_dev: int) -> ShardedWorld:
         slot_is_school=slot_is_school,
         slot_mask_compliant=slot_compliant,
         slot_same_oa=slot_same,
+        slot_ws_index=i32(slot_ws_index),
         wb_start=wb_s,
         wb_end=wb_e,
         room_start=rm_s,

@@ -93,6 +93,8 @@ def generate_census_like_world(
     hub_fraction: float = 0.20,
     self_fraction: float = 0.25,
     mean_occupancy_ratio: float = 2.35,
+    mega_fraction: float = 0.12,
+    n_mega: int = 10,
 ) -> World:
     """Build a census-shaped :class:`World` of ``n_citizens``.
 
@@ -233,6 +235,28 @@ def generate_census_like_world(
     # compact to used buildings only (some may be empty)
     used, w_bld_compact = np.unique(w_building_global, return_inverse=True)
     n_workplaces = len(used)
+
+    # --- mega sites: a handful of giant employers in the hub OAs -----------
+    # Two real structures motivate this: (a) the v1.6-era builder crammed
+    # overflow workers into whatever workplaces existed ("Ran out of
+    # Workplaces 1 to assign workers", logs/v1.6_no_jabs_timing_steps.log),
+    # producing buildings far beyond the floor-space rule; (b) real cities
+    # have single-site mega-employers (York: university ~20k, hospital ~9k)
+    # that the lognormal stock cannot produce.  Epidemiologically they set
+    # the *deceleration* of the epidemic: mega sites ignite early, saturate,
+    # and then contribute nothing — the measured v1.6 signature (early
+    # r~0.016/h falling to ~0.005/h by 30% prevalence,
+    # statistics_results/york_stats_results/v1.6).
+    if mega_fraction > 0 and n_mega > 0 and len(worker_idx):
+        pick = rng.random(len(w_sorted)) < mega_fraction
+        k = int(pick.sum())
+        if k:
+            site_w = 1.0 / np.arange(1, n_mega + 1)  # Zipf: one dominant site
+            site = rng.choice(n_mega, size=k, p=site_w / site_w.sum())
+            mega_oa = np.argsort(attract)[::-1][:n_mega].astype(np.int32)
+            w_bld_compact[pick] = n_workplaces + site
+            work_oa[w_sorted[pick]] = mega_oa[site]
+            n_workplaces += n_mega
 
     schools = build_schools(
         age=age, occ=occ, home_oa=home_oa, work_oa=work_oa,

@@ -41,17 +41,18 @@ def _det_params():
     ).as_arrays()
 
 
-def _single_device_reference(world, status0, steps, transport):
+def _single_device_reference(world, status0, steps, transport, params=None):
     cfg = SimConfig(
         use_fast_path=True, use_pallas_scans=False, use_fused_citizen=False,
-        max_vaccinations_per_step=1,
+        max_vaccinations_per_step=1 if params is None else 4096,
         bus_capacity=1_000_000 if transport else 20,
     )
+    if params is None:
+        params = _det_params()
     st = init_state(world, seed=0, starting_infected=0)
     from epidemicsimulator_tpu.engine.state import with_status
     st = with_status(st, world, status0)
     wd = world.device_put()
-    params = _det_params()
     jstep = jax.jit(lambda w, p, s: step(w, p, cfg, s))
     rows = []
     for _ in range(steps):
@@ -61,18 +62,98 @@ def _single_device_reference(world, status0, steps, transport):
     return rows
 
 
+def _strip_transport(world):
+    return dataclasses.replace(
+        world,
+        uses_transport=np.zeros(world.n_citizens, bool),
+        ws_uses_transport=np.zeros(world.n_citizens, bool),
+        rider_perm=np.zeros(0, np.int32),
+        rider_route=np.zeros(0, np.int32),
+        rider_mask_compliant=np.zeros(0, bool),
+    )
+
+
+def _run_sharded_vs_ref(world, params, status0, steps, n_dev, ref,
+                        bus_capacity=20, check_final=True):
+    """Drive the sharded runner and assert per-step bitwise equality."""
+    mesh = make_mesh(n_dev)
+    sw = partition_world(world, n_dev)
+    st = init_sharded_state(world, sw, seed=0, starting_infected=0)
+    from epidemicsimulator_tpu.parallel.partition import (
+        PAD_STATUS, shard_state_arrays,
+    )
+    lanes = shard_state_arrays(sw, {"status": (status0, PAD_STATUS)})
+    st = dataclasses.replace(st, status=jnp.asarray(lanes["status"]).reshape(-1))
+
+    cfg = SimConfig(
+        chunk_size=steps, max_steps=steps, max_vaccinations_per_step=4096,
+        bus_capacity=bus_capacity,
+    )
+    runner = make_fast_sharded_runner(sw, cfg, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    w_sh = jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("pop")))
+        if hasattr(x, "shape") else x,
+        sw,
+    )
+    fs, outs = runner(w_sh, params, st)
+    for t in range(steps):
+        np.testing.assert_array_equal(
+            np.asarray(outs.seirv[t]), ref[t][1],
+            err_msg=f"seirv diverged at step {t + 1}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(outs.exposures_per_oa[t]), ref[t][2],
+            err_msg=f"per-OA exposures diverged at step {t + 1}",
+        )
+    if check_final:
+        g = gather_state_arrays(
+            sw,
+            {"status": np.asarray(fs.status).reshape(sw.n_dev, sw.shard_size)},
+        )
+        np.testing.assert_array_equal(g["status"], ref[-1][0])
+    return outs
+
+
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_sharded_matches_single_device_stochastic(n_dev):
+    """FULLY stochastic regime — fractional draw probabilities, mask +
+    vaccination + lockdown transitions mid-run.  Every citizen-keyed draw
+    hashes (per-step seed, global citizen / work-order id), so the sharded
+    trajectory must equal the single-device fast path BITWISE.  Transport
+    is stripped: bus assembly is shard-local, the one documented
+    divergence (FIDELITY.md)."""
+    world = _strip_transport(
+        generate_synthetic_world(4000, n_output_areas=12, seed=4)
+    )
+    base = Params.covid()
+    params = Params(
+        dataclasses.replace(
+            base.disease, exposure_chance=0.04, exposed_time=24,
+            infected_time=72, vaccination_rate=25,
+        ),
+        dataclasses.replace(
+            base.thresholds, lockdown=0.20, vaccination=0.05,
+            mask_public_transport=0.01, mask_everywhere=0.08,
+        ),
+    ).as_arrays()
+    status0 = np.zeros(world.n_citizens, np.int8)
+    status0[::101] = STATUS_INFECTED
+    steps = 100
+    ref = _single_device_reference(world, status0, steps, False, params=params)
+    outs = _run_sharded_vs_ref(world, params, status0, steps, n_dev, ref)
+    # the run must actually exercise the stochastic transitions it claims to
+    assert np.asarray(outs.n_vaccinated_now).max() > 0, "vaccination never fired"
+    assert np.asarray(outs.lockdown).any(), "lockdown never engaged"
+    assert np.asarray(outs.mask_status).max() >= 1, "masks never mandated"
+
+
 @pytest.mark.parametrize("n_dev,transport", [(4, False), (8, True), (3, True)])
 def test_sharded_matches_single_device_deterministically(n_dev, transport):
     world = generate_synthetic_world(4000, n_output_areas=12, seed=4)
     if not transport:
-        world = dataclasses.replace(
-            world,
-            uses_transport=np.zeros(world.n_citizens, bool),
-            ws_uses_transport=np.zeros(world.n_citizens, bool),
-            rider_perm=np.zeros(0, np.int32),
-            rider_route=np.zeros(0, np.int32),
-            rider_mask_compliant=np.zeros(0, bool),
-        )
+        world = _strip_transport(world)
     status0 = np.zeros(world.n_citizens, np.int8)
     status0[::157] = STATUS_INFECTED
     steps = 60
