@@ -114,6 +114,7 @@ def bus_hits(
     n_citizens: int,
     max_hits: int = 16384,
     want_cit_lane: bool = True,
+    rb_chance=None,
 ):
     """Gather-free bus exposure.
 
@@ -144,6 +145,11 @@ def bus_hits(
 
     ``exposure_p_fn(compliant_bool, on_bus_bool) -> f32`` supplies the
     mask-adjusted exposure chance.
+
+    ``rb_chance``: optional (R,) f32 per-rider mask-adjusted exposure
+    chance (packed-replica ensembles sweep exposure_chance per replica).
+    It rides the shuffle sort as an extra operand and exposure_p_fn is
+    then called as ``exposure_p_fn(compliant, on_bus, chance_sorted)``.
     """
     from .runsums import run_totals
 
@@ -166,7 +172,14 @@ def bus_hits(
         | (rb_susc.astype(jnp.uint32) << 1)
         | rb_compliant.astype(jnp.uint32)
     )
-    rk_s, _, pay_s = jax.lax.sort((rk, tie, payload), num_keys=2)
+    if rb_chance is not None:
+        rk_s, _, pay_s, chance_s = jax.lax.sort(
+            (rk, tie, payload, jnp.asarray(rb_chance, jnp.float32)),
+            num_keys=2,
+        )
+    else:
+        rk_s, _, pay_s = jax.lax.sort((rk, tie, payload), num_keys=2)
+        chance_s = None
 
     pos_i = jnp.arange(r, dtype=jnp.int32)
     boundary = jnp.concatenate(
@@ -183,7 +196,10 @@ def bus_hits(
     valid = rk_s != _INT32_MAX
     susc_s = (pay_s & 2) != 0
     compliant_s = (pay_s & 1) != 0
-    p = exposure_p_fn(compliant_s, valid)
+    if chance_s is not None:
+        p = exposure_p_fn(compliant_s, valid, chance_s)
+    else:
+        p = exposure_p_fn(compliant_s, valid)
     q = jnp.where(valid & (n_bus > 0), binomial_at_least_one(p, n_bus), 0.0)
     hit = susc_s & valid & (jax.random.uniform(key_draw, (r,)) < q)
 

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--replicates", type=int, default=64)
     ap.add_argument("--chunk", type=int, default=250)
     ap.add_argument("--out", default="sample_results")
+    ap.add_argument("--engine", choices=["vmap", "packed"], default="packed",
+                    help="packed: R replicas as one world (engine/packed.py)"
+                         " — ~3x the vmapped formulation's throughput")
     args = ap.parse_args()
 
     from epidemicsimulator_tpu.utils import enable_compilation_cache
@@ -68,14 +71,73 @@ def main():
         )
 
     cfg = SimConfig(max_steps=args.steps, chunk_size=args.chunk)
-    t0 = time.perf_counter()
     cfg = dataclasses.replace(cfg, starting_infected=10)
-    seirv = run_ensemble(world, param_list, cfg, seed=0)
-    dt = time.perf_counter() - t0
+
+    # separate compile from steady state: run one warmup chunk explicitly
+    if args.engine == "packed":
+        from epidemicsimulator_tpu.engine.packed import (
+            init_packed_state, make_packed_runner, pack_replicas,
+            run_packed_ensemble,
+        )
+
+        # pack against the HOST world (pack_replicas tiles core lanes)
+        base = generate_synthetic_world(N_CITIZENS, n_output_areas=N_OAS,
+                                        seed=0)
+        t0 = time.perf_counter()
+        pe = pack_replicas(base, param_list)
+        print(f"pack: {time.perf_counter() - t0:.1f}s "
+              f"({pe.world.n_citizens:,} packed citizens)", flush=True)
+        th = param_list[0].as_arrays().thresholds
+        st0 = init_packed_state(pe, seed=0, starting_infected=10)
+        runner = make_packed_runner(pe, cfg)
+        t0 = time.perf_counter()
+        _st, _o = runner(th, st0)  # donates st0
+        jax.block_until_ready(_o)
+        compile_s = time.perf_counter() - t0
+        print(f"compile+first chunk ({args.chunk} steps): {compile_s:.1f}s",
+              flush=True)
+        # timed run: same compiled runner + device-resident packed world —
+        # the run_packed_ensemble convenience wrapper would re-pack and
+        # re-upload 13M citizens through the tunnel inside the timed region
+        st = init_packed_state(pe, seed=0, starting_infected=10)
+        t0 = time.perf_counter()
+        chunks, steps = [], 0
+        while steps < args.steps:
+            st, out = runner(th, st)
+            out = np.asarray(out)  # (chunk, R, 5)
+            chunks.append(out)
+            steps += args.chunk
+            if not (out[-1, :, :3].sum(axis=1) > 0).any():
+                break
+        seirv = np.transpose(
+            np.concatenate(chunks, axis=0)[: args.steps], (1, 0, 2)
+        )
+        dt = time.perf_counter() - t0
+    else:
+        from epidemicsimulator_tpu.engine.ensemble import (
+            init_ensemble_state, make_ensemble_runner, stack_params,
+        )
+
+        stacked = stack_params(param_list)
+        state0 = init_ensemble_state(
+            world, args.replicates, seed=0, starting_infected=10
+        )
+        runner = make_ensemble_runner(world, cfg)
+        t0 = time.perf_counter()
+        _st, _ = runner(stacked, state0)
+        jax.block_until_ready(_)
+        compile_s = time.perf_counter() - t0
+        print(f"compile+first chunk ({args.chunk} steps): {compile_s:.1f}s",
+              flush=True)
+        # second full run hits the cached compiled runner: pure execution
+        t0 = time.perf_counter()
+        seirv = run_ensemble(world, param_list, cfg, seed=0)
+        dt = time.perf_counter() - t0
     agg = args.replicates * N_CITIZENS * args.steps / dt
     print(
         f"{args.replicates} replicates x {args.steps} steps in {dt:.1f}s "
-        f"({agg / 1e6:.0f}M citizen-steps/s aggregate incl. compile)",
+        f"compiled ({agg / 1e6:.0f}M c-s/s aggregate, "
+        f"{dt * 1e3 / args.steps:.2f} ms/ensemble-step)",
         flush=True,
     )
 
@@ -83,10 +145,13 @@ def main():
     np.save(os.path.join(args.out, "ensemble64_seirv.npy"), seirv)
     peaks = seirv[:, :, 2].max(axis=1)
     summary = {
+        "engine": args.engine,
         "n_citizens": N_CITIZENS,
         "replicates": args.replicates,
         "steps": args.steps,
         "wall_s": round(dt, 1),
+        "compile_first_chunk_s": round(compile_s, 1),
+        "ms_per_ensemble_step": round(dt * 1e3 / args.steps, 2),
         "aggregate_citizen_steps_per_sec": round(agg),
         "peak_infected_min": int(peaks.min()),
         "peak_infected_median": int(np.median(peaks)),
