@@ -270,17 +270,33 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState):
         move, state.at_work_ws, state.on_bus_ws, None,
     )
 
+    use_pallas = cfg.use_pallas_scans
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
     def work_side(fwd):
         fwd_ws = permute_by_sort(world.wpos, fwd, bits=3)
         contrib_w_ws = (fwd_ws & 1).astype(jnp.int32)
         susc_ws = (fwd_ws & 2) != 0
         hit_home_ws = (fwd_ws & 4) != 0
-        n_w_ws = run_totals(
-            contrib_w_ws, world.ws_wb_start_mask, world.ws_wb_end_mask
-        )
-        room_ws = run_totals(
-            contrib_w_ws, world.ws_room_start_mask, world.ws_room_end_mask
-        )
+        if use_pallas:
+            from ..ops.pallas_scans import run_totals_fused
+
+            n_w_ws, room_ws = run_totals_fused(
+                (fwd_ws & 1),
+                [
+                    (world.ws_wb_start_mask, world.ws_wb_end_mask),
+                    (world.ws_room_start_mask, world.ws_room_end_mask),
+                ],
+                tile_rows=512,
+            )
+        else:
+            n_w_ws = run_totals(
+                contrib_w_ws, world.ws_wb_start_mask, world.ws_wb_end_mask
+            )
+            room_ws = run_totals(
+                contrib_w_ws, world.ws_room_start_mask, world.ws_room_end_mask
+            )
         draws_ws = jnp.where(
             world.ws_is_school, room_ws, (n_w_ws > 0).astype(jnp.int32)
         )
