@@ -455,8 +455,16 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState):
             )
         return new_status, new_elig
 
+    # Gate on any ELIGIBLE citizen, not any started replica: eligible lanes
+    # are only true between a replica's activation and its pool draining
+    # (~pool/rate steps), so the cond stops firing for the rest of the run
+    # — a fired vaccinate-cond stalls this runtime even with a trivial
+    # body (docs/PERF.md, tools/probe_vax_parts2), and with 64 replicas
+    # SOME replica latches early and would otherwise pin the cond on for
+    # every remaining step.  Value-identical: no eligible => every k_r
+    # is min(rate, 0) = 0 => nobody chosen.
     status, eligible = jax.lax.cond(
-        jnp.any(vaccination_started),
+        jnp.any(eligible),
         vaccinate,
         lambda args: args,
         (status, eligible),
