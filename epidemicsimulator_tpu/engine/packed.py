@@ -8,14 +8,23 @@ entirely — R disjoint copies of the base world are packed into one World
 ever crosses replicas) and ONE pass of the regular fast-path formulation
 steps all replicates:
 
-* swept disease parameters (exposure_chance, exposed_time, infected_time)
-  become static per-citizen lanes (+ work-order and rider-order copies);
-* intervention state (lockdown, mask status, vaccination started) is an
-  (R,) vector; per-citizen views are broadcast+reshape — replicas are
-  contiguous, equal-size blocks in every engine order, so no gather;
-* the per-replicate SEIRV census is a row reduction of status.reshape(R,n);
+* each replica is padded to a whole number of fused-kernel blocks
+  (``block_rows * 128`` lanes; pad citizens are inert singleton households
+  with status 5, outside every census, draw and mask), so every kernel
+  block belongs to exactly one replica;
+* the swept disease parameters (exposure_chance, exposed_time,
+  infected_time) and the per-replica intervention state (lockdown, mask
+  status) reach the fused citizen kernel as (R,)-row SMEM tables selected
+  by the block's replica id (ops/pallas_citizen.py ensemble mode) — no
+  per-citizen parameter lanes, no extra HBM traffic;
+* the per-replica SEIRV census falls out of the kernel's per-block
+  partials (replica-aligned blocks sum directly);
+* work / bus / vaccination run the regular fast-path formulations over the
+  packed lanes, with per-citizen views of (R,) state as broadcast+reshape —
+  replicas are contiguous, equal-stride blocks in every engine order
+  (citizen, work, rider), so no gather;
 * exact-k vaccination runs the usual kth-score-threshold search vmapped
-  over the (R, n) reshape.
+  over the (R, stride) reshape.
 
 Replicates are independent simulations: the packed trajectory of replica r
 is distributionally identical to a solo run (draws hash global indices, so
@@ -53,36 +62,41 @@ from .fastpath import (
     _advance_disease, _exposure_p, _kth_score_threshold, _movement,
 )
 
+LANES = 128
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PackedEnsemble:
-    """One world holding R replicas + per-replica parameter lanes."""
+    """One world holding R block-aligned replicas + (R,) parameter rows."""
 
     world: World
-    # swept per-citizen parameter lanes (citizen order)
-    chance: Any          # f32 (N,)
-    exposed_time: Any    # i32 (N,)
-    infected_time: Any   # i32 (N,)
-    # order copies of the chance lane
-    chance_ws: Any       # f32 (N,), work order
-    chance_r: Any        # f32 (R_riders,), rider order
+    # swept per-replica disease parameters
+    chance: Any          # f32 (R,)
+    exposed_time: Any    # i32 (R,)
+    infected_time: Any   # i32 (R,)
     # shared scalars
     mask_effectiveness: Any  # f32
     vaccination_rate: Any    # i32
     n_replicas: int = dataclasses.field(metadata=dict(static=True))
     rep_size: int = dataclasses.field(metadata=dict(static=True))
+    #: padded per-replica lane count (multiple of block_rows * 128)
+    rep_stride: int = dataclasses.field(default=0, metadata=dict(static=True))
+    #: fused-kernel block height used for the alignment
+    block_rows: int = dataclasses.field(default=128, metadata=dict(static=True))
+
+    @property
+    def blocks_per_rep(self) -> int:
+        return self.rep_stride // (self.block_rows * LANES)
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PackedState:
-    status: Any          # i8 (N,)
+    status: Any          # i8 (N,); pad lanes hold 5 (outside every census)
     timer: Any           # i32 (N,)
-    at_work: Any         # bool (N,)
-    on_bus: Any          # bool (N,)
-    at_work_ws: Any      # bool (N,), movement twin in work order
-    on_bus_ws: Any       # bool (N,)
+    sched: Any           # i8 (N,): at_work | on_bus<<1 | bus_to_work<<2
+                         #          | at_work_ws<<3 | on_bus_ws<<4
     eligible: Any        # bool (N,)
     hour: Any            # i32
     lockdown: Any        # bool (R,)
@@ -91,88 +105,110 @@ class PackedState:
     rng_key: Any
 
 
-def pack_replicas(base: World, param_list: list[Params]) -> PackedEnsemble:
-    """Tile ``base`` into R offset replicas and bake the swept parameters
-    into per-citizen lanes.  Replicas stay contiguous, equal-size blocks in
-    citizen, work and rider order (buildings/OAs/rooms are replica-major,
-    and make_world's canonicalisation preserves replica-major keys)."""
+def pack_replicas(base: World, param_list: list[Params], *,
+                  block_rows: int = 128) -> PackedEnsemble:
+    """Tile ``base`` into R replicas padded to ``block_rows * 128``-lane
+    boundaries and collect the swept parameters as (R,) rows.
+
+    Pad citizens are inert: singleton households in a per-replica pad OA
+    (so they sort to the replica's tail), work == home, no transport, not
+    mask-compliant; init_packed_state seeds them status 5, which every
+    census / susceptibility / eligibility test excludes.  Replicas stay
+    contiguous equal-stride blocks in citizen, work and rider order
+    (buildings/OAs/rooms are replica-major and make_world's
+    canonicalisation preserves replica-major keys)."""
     R = len(param_list)
     n = base.n_citizens
     B, M, O = base.n_buildings, base.n_rooms, base.n_output_areas
+    block_elems = block_rows * LANES
+    stride = -(-max(n, 1) // block_elems) * block_elems
+    n_pad = stride - n
+    Bp, Op = B + n_pad, O + 1
 
-    def tiled(x):
-        return np.tile(np.asarray(x), R)
+    def padded(x, padval):
+        x = np.asarray(x)
+        return np.concatenate([x, np.full(n_pad, padval, x.dtype)])
 
-    rep = np.repeat(np.arange(R, dtype=np.int64), n)
-    rm = np.asarray(base.room, np.int64)
-    room_packed = np.where(
-        np.tile(rm, R) == M, R * M, rep * M + np.tile(rm, R)
-    )
+    def tiled(x, padval):
+        return np.tile(padded(x, padval), R)
+
+    rep = np.repeat(np.arange(R, dtype=np.int64), stride)
+    pad_b = B + np.arange(n_pad, dtype=np.int64)
+    hb = np.concatenate([np.asarray(base.home_building, np.int64), pad_b])
+    wb = np.concatenate([np.asarray(base.work_building, np.int64), pad_b])
+    ho = padded(np.asarray(base.home_oa, np.int64), O)
+    wo = padded(np.asarray(base.work_oa, np.int64), O)
+    # room sentinel: base M -> packed R*M (pads have no room either)
+    rm = np.where(np.asarray(base.room, np.int64) == M, -1,
+                  np.asarray(base.room, np.int64))
+    rm = padded(rm, -1)
+    rm_t = np.tile(rm, R)
+    room_packed = np.where(rm_t < 0, R * M, rep * M + rm_t)
     world = make_world(
-        age=tiled(base.age),
-        occupation=tiled(base.occupation),
-        home_building=rep * B + tiled(base.home_building),
-        work_building=rep * B + tiled(base.work_building),
-        home_oa=rep * O + tiled(base.home_oa),
-        work_oa=rep * O + tiled(base.work_oa),
+        age=tiled(base.age, 0),
+        occupation=tiled(base.occupation, 0),
+        home_building=rep * Bp + np.tile(hb, R),
+        work_building=rep * Bp + np.tile(wb, R),
+        home_oa=rep * Op + np.tile(ho, R),
+        work_oa=rep * Op + np.tile(wo, R),
         room=room_packed,
-        is_school_work=tiled(base.is_school_work),
-        uses_transport=tiled(base.uses_transport),
-        mask_compliant=tiled(base.mask_compliant),
-        work_start=tiled(base.work_start),
-        work_end=tiled(base.work_end),
-        n_buildings=R * B,
+        is_school_work=tiled(base.is_school_work, False),
+        uses_transport=tiled(base.uses_transport, False),
+        mask_compliant=tiled(base.mask_compliant, False),
+        work_start=tiled(base.work_start, 9),
+        work_end=tiled(base.work_end, 17),
+        n_buildings=R * Bp,
         n_rooms=R * M,
-        n_output_areas=R * O,
+        n_output_areas=R * Op,
     )
-    # make_world must not have reordered citizens across replicas: the
-    # packed home_building keys are already sorted replica-major.
-    assert world.n_citizens == R * n
+    # make_world must not have reordered citizens across replica blocks or
+    # moved pads off the tail: the packed keys are already sorted
+    # replica-major with the pad OA last inside each replica.
+    assert world.n_citizens == R * stride
+    assert np.array_equal(
+        np.asarray(world.home_oa, np.int64), rep * Op + np.tile(ho, R)
+    ), "pack_replicas: canonicalisation broke the replica-major layout"
 
     ds = [p.as_arrays().disease for p in param_list]
-    chance = np.repeat(
-        np.array([float(jax.device_get(d.exposure_chance)) for d in ds],
-                 np.float32), n)
-    et = np.repeat(
-        np.array([int(jax.device_get(d.exposed_time)) for d in ds],
-                 np.int32), n)
-    it = np.repeat(
-        np.array([int(jax.device_get(d.infected_time)) for d in ds],
-                 np.int32), n)
-    wp = np.asarray(world.work_perm)
-    rp = np.asarray(world.rider_perm)
+    chance = np.array(
+        [float(jax.device_get(d.exposure_chance)) for d in ds], np.float32
+    )
+    et = np.array(
+        [int(jax.device_get(d.exposed_time)) for d in ds], np.int32
+    )
+    it = np.array(
+        [int(jax.device_get(d.infected_time)) for d in ds], np.int32
+    )
     return PackedEnsemble(
         world=world,
         chance=chance,
         exposed_time=et,
         infected_time=it,
-        chance_ws=chance[wp],
-        chance_r=chance[rp],
         mask_effectiveness=np.float32(
             jax.device_get(ds[0].mask_effectiveness)),
         vaccination_rate=np.int32(jax.device_get(ds[0].vaccination_rate)),
         n_replicas=R,
         rep_size=n,
+        rep_stride=stride,
+        block_rows=block_rows,
     )
 
 
 def init_packed_state(pe: PackedEnsemble, *, seed: int = 0,
                       starting_infected: int = 10) -> PackedState:
     """Seed ``starting_infected`` infections independently per replica."""
-    R, n = pe.n_replicas, pe.rep_size
+    R, n, stride = pe.n_replicas, pe.rep_size, pe.rep_stride
     rng = np.random.default_rng(seed)
-    status = np.zeros(R * n, np.int8)
+    status = np.zeros(R * stride, np.int8)
     for r in range(R):
+        status[r * stride + n : (r + 1) * stride] = 5  # inert pad lanes
         idx = rng.choice(n, size=starting_infected, replace=False)
-        status[r * n + idx] = STATUS_INFECTED
+        status[r * stride + idx] = STATUS_INFECTED
     return PackedState(
         status=jnp.asarray(status),
-        timer=jnp.zeros(R * n, jnp.int32),
-        at_work=jnp.zeros(R * n, bool),
-        on_bus=jnp.zeros(R * n, bool),
-        at_work_ws=jnp.zeros(R * n, bool),
-        on_bus_ws=jnp.zeros(R * n, bool),
-        eligible=jnp.zeros(R * n, bool),
+        timer=jnp.zeros(R * stride, jnp.int32),
+        sched=jnp.zeros(R * stride, jnp.int8),
+        eligible=jnp.zeros(R * stride, bool),
         hour=jnp.int32(0),
         lockdown=jnp.zeros(R, bool),
         mask_status=jnp.full(R, MASK_NONE, jnp.int8),
@@ -181,101 +217,233 @@ def init_packed_state(pe: PackedEnsemble, *, seed: int = 0,
     )
 
 
-def _rep_lane(vec_r, R, n):
-    """(R,) per-replica vector -> (R*n,) per-citizen lane (no gather:
-    replicas are contiguous equal blocks)."""
-    return jnp.broadcast_to(vec_r[:, None], (R, n)).reshape(-1)
+def _rep_lane(vec_r, R, stride):
+    """(R,) per-replica vector -> (R*stride,) per-citizen lane (no gather:
+    replicas are contiguous equal blocks in every replica-major order)."""
+    return jnp.broadcast_to(vec_r[:, None], (R, stride)).reshape(-1)
 
 
-def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState):
+def derive_step_rng(base_key, hours):
+    """Per-step RNG material for a chunk, batched: one vectorised threefry
+    pass over the (chunk,) hours instead of a scalar fold_in/split/bits
+    chain per scan iteration.  The per-step chain compiled to a
+    HOST-computed xor inside the while loop on this runtime (S(6) scalar,
+    xplane: a 4 ms copy-start per step waiting on it — docs/PERF.md), so
+    the chunk runner precomputes these and feeds them through scan xs.
+    Streams are bitwise-identical to the inline derivation."""
+
+    def one(h):
+        key = jax.random.fold_in(base_key, h)
+        k_bus, k_h, k_w, k_b, k_vax = jax.random.split(key, 5)
+        return (
+            k_bus, k_b,
+            jax.random.bits(k_h, (), jnp.uint32),
+            jax.random.bits(k_w, (), jnp.uint32),
+            jax.random.bits(k_vax, (), jnp.uint32),
+        )
+
+    return jax.vmap(one)(hours)
+
+
+def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
+                fused_statics=None, rng=None):
     """One hour for all R replicas.  Reference semantics per replica
-    (simulator.rs:131-152); th = InterventionThresholds (shared)."""
+    (simulator.rs:131-152); th = InterventionThresholds (shared).
+
+    Mirrors engine/fastpath.py::fast_step stage for stage; per-replica
+    parameters enter the fused kernel as SMEM rows (ensemble mode) and the
+    work/bus/vaccination stages as broadcast lanes over the (R, stride)
+    block structure.
+
+    ``rng``: optional pre-derived (k_bus, k_b, seed_h, seed_w, seed_vax)
+    for this step (derive_step_rng row); derived inline from
+    ``state.rng_key`` when absent — identical streams either way.
+    """
     world = pe.world
-    R, n = pe.n_replicas, pe.rep_size
-    N = R * n
+    R, n, stride = pe.n_replicas, pe.rep_size, pe.rep_stride
+    N = R * stride
 
     hour = state.hour + 1
-    key = jax.random.fold_in(state.rng_key, hour)
-    k_bus, k_h, k_w, k_b, k_vax = jax.random.split(key, 5)
-    seed_h = jax.random.bits(k_h, (), jnp.uint32)
-    seed_w = jax.random.bits(k_w, (), jnp.uint32)
-    seed_vax = jax.random.bits(k_vax, (), jnp.uint32)
-    h24 = (hour % 24).astype(jnp.int8)
-
-    # 1. timers (per-replica exposed/infected time lanes)
-    class _D:
-        exposed_time = pe.exposed_time
-        infected_time = pe.infected_time
-
-    status, timer = _advance_disease(state.status, state.timer, _D)
-
-    # 2. movement; lockdown is per replica
-    move = ~_rep_lane(state.lockdown, R, n)
-    at_work, on_bus, _ = _movement(
-        h24, world.work_start, world.work_end, world.uses_transport,
-        move, state.at_work, state.on_bus, None,
-    )
-
-    # 3. per-replica census, post-advance (simulator.rs:178)
-    st2 = status.reshape(R, n)
-    seirv0 = jnp.stack(
-        [jnp.sum((st2 == s).astype(jnp.int32), axis=1) for s in range(5)],
-        axis=1,
-    )  # (R, 5)
-
-    def trunc(x):
-        return truncate_u8(x) if cfg.reference_u8_truncation else x
-
-    # 4. home side
-    inf_active = (status == STATUS_INFECTED) & ~on_bus
-    wneq = world.work_building != world.home_building
-    contrib_home = inf_active & (~at_work | ~wneq)
-    K = world.max_household_size
-    if 0 < K <= 24:
-        c8 = contrib_home.astype(jnp.int8)
-        pos, size = world.hh_pos, world.hh_size
-        acc = contrib_home.astype(jnp.int32)
-        for dd in range(1, K):
-            acc = acc + jnp.where(pos + dd < size, jnp.roll(c8, -dd), 0)
-            acc = acc + jnp.where(pos - dd >= 0, jnp.roll(c8, dd), 0)
-        n_h = acc
+    if rng is None:
+        key = jax.random.fold_in(state.rng_key, hour)
+        k_bus, k_h, k_w, k_b, k_vax = jax.random.split(key, 5)
+        seed_h = jax.random.bits(k_h, (), jnp.uint32)
+        seed_w = jax.random.bits(k_w, (), jnp.uint32)
+        seed_vax = jax.random.bits(k_vax, (), jnp.uint32)
     else:
-        n_h = run_totals(
-            contrib_home, world.home_start_mask, world.home_end_mask
-        )
-    ms_cit = _rep_lane(state.mask_status, R, n)
-    p_cit = _exposure_p(
-        pe.chance, pe.mask_effectiveness, ms_cit,
-        world.mask_compliant, on_bus, cfg.reference_mask_semantics,
-    )
-    cur_oa = jnp.where(at_work, world.work_oa, world.home_oa)
-    q_home = jnp.where(
-        cur_oa == world.home_oa, binomial_at_least_one(p_cit, trunc(n_h)), 0.0
-    )
-    susceptible = status == STATUS_SUSCEPTIBLE
-    hit_home = susceptible & (
-        hash_uniform(seed_h, jnp.arange(N, dtype=jnp.uint32)) < q_home
-    )
-
-    # 5-7. work side.  Gated like the fastpath (fastpath.py work_pred):
-    # when no infected worker is at a workplace, every q is 0 and no hit
-    # can fire — the zero branch is value-identical and skips the two
-    # N-sized permutation sorts + run-totals (the dominant step cost).
-    contrib_work = inf_active & at_work & wneq
-    # ws-order movement twin, stepped natively every hour (carried state;
-    # same rules + per-replica move lane: ws order is replica-major equal
-    # blocks, so the citizen-order broadcast lane is also the ws-order one)
-    at_work_ws, on_bus_ws, _ = _movement(
-        h24, world.ws_work_start, world.ws_work_end, world.ws_uses_transport,
-        move, state.at_work_ws, state.on_bus_ws, None,
-    )
+        k_bus, k_b, seed_h, seed_w, seed_vax = rng
+    h24 = (hour % 24).astype(jnp.int8)
+    move_r = ~state.lockdown  # (R,)
 
     use_pallas = cfg.use_pallas_scans
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    K = world.max_household_size
+    use_fused = cfg.use_fused_citizen
+    if use_fused is None:
+        use_fused = use_pallas and 0 < K <= 24
+    if use_fused and not 0 < K <= 24:
+        raise ValueError(
+            "use_fused_citizen requires 0 < max_household_size <= 24"
+        )
 
+    def trunc(x):
+        return truncate_u8(x) if cfg.reference_u8_truncation else x
+
+    ms_cit = _rep_lane(state.mask_status, R, stride)
+    chance_cit = _rep_lane(jnp.asarray(pe.chance, jnp.float32), R, stride)
+
+    if use_fused:
+        # Stages 1-4 fused (ops/pallas_citizen.py ensemble mode): timers,
+        # per-replica movement, block-partial census, household pressure,
+        # home draw and the packed cond operand in one pass.
+        from ..ops.pallas_citizen import citizen_phase, make_citizen_statics
+
+        statics = (
+            fused_statics if fused_statics is not None
+            else make_citizen_statics(world)
+        )
+        zero = jnp.int32(0)
+        ints = jnp.stack([
+            h24.astype(jnp.int32), zero, zero,
+            jax.lax.bitcast_convert_type(seed_h, jnp.int32),
+            zero, zero, zero, zero,
+        ])
+        f32s = jnp.stack([
+            jnp.float32(0.0),
+            jnp.asarray(1.0, jnp.float32)
+            - jnp.asarray(pe.mask_effectiveness, jnp.float32),
+        ])
+        rep_ints = jnp.stack(
+            [
+                move_r.astype(jnp.int32),
+                state.mask_status.astype(jnp.int32),
+                jnp.asarray(pe.exposed_time, jnp.int32),
+                jnp.asarray(pe.infected_time, jnp.int32),
+            ],
+            axis=1,
+        )
+        rep_f32s = jnp.asarray(pe.chance, jnp.float32)[:, None]
+        (status, timer, sched1, fwd_packed, partials) = citizen_phase(
+            statics,
+            state.status, state.timer, state.sched,
+            ints, f32s,
+            K=K,
+            ref_mask_sem=cfg.reference_mask_semantics,
+            u8_trunc=cfg.reference_u8_truncation,
+            block_rows=pe.block_rows,
+            interpret=jax.default_backend() != "tpu",
+            n_citizens=N,
+            rep_ints=rep_ints,
+            rep_f32s=rep_f32s,
+            blocks_per_rep=pe.blocks_per_rep,
+        )
+        timer = jnp.asarray(timer, jnp.int32)
+        hit_home = (fwd_packed & 4) != 0
+        # replica-aligned blocks: the per-replica census is a partial sum
+        part_r = jnp.sum(
+            partials.reshape(R, pe.blocks_per_rep, 8), axis=1
+        )  # (R, 8)
+        seirv0 = part_r[:, :5]
+        work_pred = jnp.sum(partials[:, 5]) > 0
+        bus_pred = jnp.sum(partials[:, 6]) > 0
+
+        def _sched_flat():
+            return sched1
+    else:
+        # XLA formulation (CPU tests / fallback) — same streams, same
+        # values as the kernel (tests/test_packed.py pins this bitwise).
+        s0 = state.sched
+        at_work0 = (s0 & 1) != 0
+        on_bus0 = (s0 & 2) != 0
+        btw0 = (s0 & 4) != 0
+        at_work_ws0 = (s0 & 8) != 0
+        on_bus_ws0 = (s0 & 16) != 0
+
+        class _D:
+            exposed_time = _rep_lane(
+                jnp.asarray(pe.exposed_time, jnp.int32), R, stride
+            )
+            infected_time = _rep_lane(
+                jnp.asarray(pe.infected_time, jnp.int32), R, stride
+            )
+
+        status, timer = _advance_disease(
+            state.status, jnp.asarray(state.timer, jnp.int32), _D
+        )
+        move = _rep_lane(move_r, R, stride)
+        at_work, on_bus, btw = _movement(
+            h24, world.work_start, world.work_end, world.uses_transport,
+            move, at_work0, on_bus0, btw0,
+        )
+        at_work_ws, on_bus_ws, _ = _movement(
+            h24, world.ws_work_start, world.ws_work_end,
+            world.ws_uses_transport, move, at_work_ws0, on_bus_ws0, None,
+        )
+
+        # per-replica census, post-advance (simulator.rs:178); pads are
+        # status 5 and never counted
+        st2 = status.reshape(R, stride)
+        seirv0 = jnp.stack(
+            [jnp.sum((st2 == s).astype(jnp.int32), axis=1) for s in range(5)],
+            axis=1,
+        )  # (R, 5)
+
+        inf_active = (status == STATUS_INFECTED) & ~on_bus
+        wneq = world.work_building != world.home_building
+        contrib_home = inf_active & (~at_work | ~wneq)
+        if 0 < K <= 24:
+            c8 = contrib_home.astype(jnp.int8)
+            pos, size = world.hh_pos, world.hh_size
+            acc = contrib_home.astype(jnp.int32)
+            for dd in range(1, K):
+                acc = acc + jnp.where(pos + dd < size, jnp.roll(c8, -dd), 0)
+                acc = acc + jnp.where(pos - dd >= 0, jnp.roll(c8, dd), 0)
+            n_h = acc
+        else:
+            n_h = run_totals(
+                contrib_home, world.home_start_mask, world.home_end_mask
+            )
+        p_cit = _exposure_p(
+            chance_cit, pe.mask_effectiveness, ms_cit,
+            world.mask_compliant, on_bus, cfg.reference_mask_semantics,
+        )
+        cur_oa = jnp.where(at_work, world.work_oa, world.home_oa)
+        q_home = jnp.where(
+            cur_oa == world.home_oa,
+            binomial_at_least_one(p_cit, trunc(n_h)),
+            0.0,
+        )
+        susceptible = status == STATUS_SUSCEPTIBLE
+        hit_home = susceptible & (
+            hash_uniform(seed_h, jnp.arange(N, dtype=jnp.uint32)) < q_home
+        )
+        contrib_work = inf_active & at_work & wneq
+        fwd_packed = (
+            contrib_work.astype(jnp.int8)
+            | (susceptible.astype(jnp.int8) << 1)
+            | (hit_home.astype(jnp.int8) << 2)
+            | (on_bus.astype(jnp.int8) << 3)
+            | ((status == STATUS_INFECTED).astype(jnp.int8) << 4)
+        )
+        sched1 = (
+            at_work.astype(jnp.int8)
+            | (on_bus.astype(jnp.int8) << 1)
+            | (btw.astype(jnp.int8) << 2)
+            | (at_work_ws.astype(jnp.int8) << 3)
+            | (on_bus_ws.astype(jnp.int8) << 4)
+        )
+        work_pred = jnp.any(contrib_work)
+        bus_pred = jnp.any(on_bus & (status == STATUS_INFECTED))
+
+        def _sched_flat():
+            return sched1
+
+    # 5-7. work side, gated like the fast path (fastpath.py work_side): no
+    # infected worker at any workplace -> every q is 0, the zero branch is
+    # value-identical and skips the two N-sized permutation sorts + scans.
     def work_side(fwd):
-        fwd_ws = permute_by_sort(world.wpos, fwd, bits=3)
+        fwd_ws = permute_by_sort(world.wpos, fwd, bits=5)
         contrib_w_ws = (fwd_ws & 1).astype(jnp.int32)
         susc_ws = (fwd_ws & 2) != 0
         hit_home_ws = (fwd_ws & 4) != 0
@@ -300,11 +468,16 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState):
         draws_ws = jnp.where(
             world.ws_is_school, room_ws, (n_w_ws > 0).astype(jnp.int32)
         )
+        at_work_ws_l = (_sched_flat() & 8) != 0
+        on_bus_ws_l = (_sched_flat() & 16) != 0
+        # ws order is replica-major equal blocks, so the citizen-order
+        # broadcast lanes (chance, mask status) are also the ws-order ones
         p_ws = _exposure_p(
-            pe.chance_ws, pe.mask_effectiveness, ms_cit,
-            world.ws_mask_compliant, on_bus_ws, cfg.reference_mask_semantics,
+            chance_cit, pe.mask_effectiveness, ms_cit,
+            world.ws_mask_compliant, on_bus_ws_l,
+            cfg.reference_mask_semantics,
         )
-        cur_oa_ws = jnp.where(at_work_ws, world.ws_work_oa, world.ws_home_oa)
+        cur_oa_ws = jnp.where(at_work_ws_l, world.ws_work_oa, world.ws_home_oa)
         q_single = binomial_at_least_one(p_ws, trunc(n_w_ws))
         q_work_ws = jnp.where(
             (cur_oa_ws == world.ws_work_oa) & world.ws_work_neq_home,
@@ -313,38 +486,53 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState):
         )
         u_w = hash_uniform(seed_w, jnp.arange(N, dtype=jnp.uint32))
         hit_work_ws = susc_ws & ~hit_home_ws & (u_w < q_work_ws)
-        return permute_by_sort(
-            world.work_perm, hit_work_ws.astype(jnp.int8), bits=1
-        ).astype(bool)
+        # hits are few on almost every hour: ship them back to citizen
+        # order as a K-bounded compaction + scatter instead of a second
+        # N-sized permutation sort; dense fallback past K keeps the lane
+        # bitwise-identical at any hit count (fastpath.py work_side_rep's
+        # fan-out, one-directional)
+        from ..ops.sparse import compact_positions, scatter_bits
 
-    fwd = (
-        contrib_work.astype(jnp.int8)
-        | (susceptible.astype(jnp.int8) << 1)
-        | (hit_home.astype(jnp.int8) << 2)
-    )
+        KS = cfg.sparse_transport_slots
+        pos, live, cnt = compact_positions(hit_work_ws, KS)
+        cit_idx = jnp.take(world.work_perm, jnp.minimum(pos, N - 1))
+        sp_cit = scatter_bits(N, cit_idx, live)
+        return jax.lax.cond(
+            cnt > KS,
+            lambda lane: permute_by_sort(
+                world.work_perm, lane.astype(jnp.int8), bits=1
+            ).astype(bool),
+            lambda _: sp_cit,
+            hit_work_ws,
+        )
+
     hit_work = jax.lax.cond(
-        jnp.any(contrib_work),
+        work_pred,
         work_side,
         lambda _: jnp.zeros((N,), bool),
-        fwd,
+        fwd_packed,
     )
 
     # 8. bus side: rider-order bits via the rpos packed sort (no gather);
     #    per-rider mask-adjusted chance rides the shuffle sort.  Gated like
-    #    the fastpath (bus_pred): no infected rider -> n_bus=0 -> q=0
+    #    the fast path (bus_pred): no infected rider -> n_bus=0 -> q=0
     #    everywhere, so the zero branch is value-identical.
     rp = world.rider_perm
     R_riders = rp.shape[0]
-    r_base = R_riders // R
+    r_base = R_riders // max(R, 1)
 
-    def bus_side(rider_bits):
-        rb = permute_by_sort(world.rpos, rider_bits, bits=3)[:R_riders]
-        rb_on = (rb & 1) != 0
-        rb_inf = (rb & 2) != 0
-        rb_susc = (rb & 4) != 0
-        # rider order is replica-major with equal blocks (same base riders)
+    def bus_side(gates):
+        pk = permute_by_sort(world.rpos, gates, bits=5)[:R_riders]
+        rb_on = (pk & 8) != 0
+        rb_inf = (pk & 16) != 0
+        rb_susc = (pk & 2) != 0
+        # rider order is replica-major with equal blocks (same base riders;
+        # pads never ride)
         ms_r = jnp.broadcast_to(
             state.mask_status[:, None], (R, r_base)
+        ).reshape(-1)
+        ch_r = jnp.broadcast_to(
+            jnp.asarray(pe.chance, jnp.float32)[:, None], (R, r_base)
         ).reshape(-1)
         compliant_r = world.rider_mask_compliant
         if cfg.reference_mask_semantics:
@@ -355,8 +543,7 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState):
                 | ((ms_r == MASK_PUBLIC_TRANSPORT) & rb_on)
             )
         rb_chance = jnp.asarray(
-            pe.chance_r
-            * jnp.where(active_r, 1.0 - pe.mask_effectiveness, 1.0),
+            ch_r * jnp.where(active_r, 1.0 - pe.mask_effectiveness, 1.0),
             jnp.float32,
         )
         return bus_hits(
@@ -366,19 +553,15 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState):
             rb_chance=rb_chance,
         )[0]
 
-    rider_bits = (
-        on_bus.astype(jnp.int8)
-        | ((status == STATUS_INFECTED).astype(jnp.int8) << 1)
-        | (susceptible.astype(jnp.int8) << 2)
-    )
     hit_bus = jax.lax.cond(
-        jnp.any(on_bus & (status == STATUS_INFECTED)),
+        bus_pred,
         bus_side,
         lambda _: jnp.zeros((N,), bool),
-        rider_bits,
+        fwd_packed,
     )
 
-    # 9. combine
+    # 9. combine (the fused kernel already applied hit_home; the dense
+    # re-apply is idempotent, so both paths stay bitwise-identical)
     newly_exposed = hit_home | hit_work | hit_bus
     status = jnp.where(newly_exposed, jnp.int8(STATUS_EXPOSED), status)
     timer = jnp.where(newly_exposed, 0, timer)
@@ -388,13 +571,16 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState):
     else:
         eligible = state.eligible & ~newly_exposed
 
-    n_new_r = jnp.sum(newly_exposed.reshape(R, n).astype(jnp.int32), axis=1)
+    n_new_r = jnp.sum(
+        newly_exposed.reshape(R, stride).astype(jnp.int32), axis=1
+    )
     seirv = (
         seirv0.at[:, STATUS_SUSCEPTIBLE].add(-n_new_r)
         .at[:, STATUS_EXPOSED].add(n_new_r)
     )
 
-    # 10. interventions per replica (interventions.rs:110-184)
+    # 10. interventions per replica (interventions.rs:110-184); the infected
+    #     fraction divides by the REAL replica population, not the stride
     pct = seirv[:, STATUS_INFECTED].astype(jnp.float32) / jnp.float32(n)
     lockdown = (th.lockdown >= 0) & (th.lockdown < pct)
     newly_started = (
@@ -403,7 +589,8 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState):
     )
     vaccination_started = state.vaccination_started | newly_started
     eligible = jnp.where(
-        _rep_lane(newly_started, R, n), status == STATUS_SUSCEPTIBLE, eligible
+        _rep_lane(newly_started, R, stride),
+        status == STATUS_SUSCEPTIBLE, eligible,
     )
     ms = state.mask_status
     ms_next = jnp.where(
@@ -428,8 +615,8 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState):
         status, eligible = args
         scores = hash_bits(
             seed_vax, jnp.arange(N, dtype=jnp.uint32)
-        ).reshape(R, n)
-        elig2 = eligible.reshape(R, n)
+        ).reshape(R, stride)
+        elig2 = eligible.reshape(R, stride)
         started = vaccination_started
         k_r = jnp.where(
             started,
@@ -471,8 +658,7 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState):
     )
 
     new_state = PackedState(
-        status=status, timer=timer, at_work=at_work, on_bus=on_bus,
-        at_work_ws=at_work_ws, on_bus_ws=on_bus_ws,
+        status=status, timer=timer, sched=sched1,
         eligible=eligible, hour=hour, lockdown=lockdown,
         mask_status=ms_next, vaccination_started=vaccination_started,
         rng_key=state.rng_key,
@@ -484,12 +670,39 @@ def make_packed_runner(pe: PackedEnsemble, cfg: SimConfig):
     """jitted chunk(thresholds, state) -> (state, (chunk, R, 5))."""
     s = jax.sharding.SingleDeviceSharding(jax.devices()[0])
 
+    use_pallas = cfg.use_pallas_scans
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    use_fused = cfg.use_fused_citizen
+    if use_fused is None:
+        use_fused = use_pallas and 0 < pe.world.max_household_size <= 24
+
     def chunk(pe_d, th, state):
-        def body(carry, _):
-            ns, seirv = packed_step(pe_d, th, cfg, carry)
+        if use_fused:
+            from ..ops.pallas_citizen import make_citizen_statics
+
+            statics = make_citizen_statics(pe_d.world)  # loop-invariant
+        else:
+            statics = None
+
+        # Per-step RNG material precomputed OUTSIDE the scan in one batched
+        # threefry pass and fed through scan xs (see derive_step_rng: the
+        # inline per-step chain host-pins a scalar and stalls ~4 ms/step on
+        # this runtime).  The key itself leaves the carry entirely.
+        base_key = state.rng_key
+        state = dataclasses.replace(state, rng_key=None)
+        hours = state.hour + 1 + jnp.arange(cfg.chunk_size, dtype=jnp.int32)
+        xs = derive_step_rng(base_key, hours)
+
+        def body(carry, x):
+            ns, seirv = packed_step(
+                pe_d, th, cfg, carry, fused_statics=statics, rng=x,
+            )
             return ns, seirv
 
-        return jax.lax.scan(body, state, None, length=cfg.chunk_size)
+        state, seirv_t = jax.lax.scan(body, state, xs,
+                                      length=cfg.chunk_size)
+        return dataclasses.replace(state, rng_key=base_key), seirv_t
 
     jitted = jax.jit(chunk, donate_argnums=(2,), in_shardings=(s, s, s))
     pe_d = jax.tree.map(
@@ -505,10 +718,13 @@ def make_packed_runner(pe: PackedEnsemble, cfg: SimConfig):
 
 
 def run_packed_ensemble(base: World, param_list: list[Params],
-                        cfg: SimConfig, *, seed: int = 0):
-    """Pack, run to cfg.max_steps (early exit when ALL replicas are done);
-    returns (R, T, 5) SEIRV series.  Thresholds are shared (param_list[0])."""
-    pe = pack_replicas(base, param_list)
+                        cfg: SimConfig, *, seed: int = 0,
+                        block_rows: int = 128):
+    """Pack, run to cfg.max_steps (early exit when ALL replicas are done:
+    disease_exists = S+E+I > 0, statistics.rs:289-291 — the reference run
+    ends only when vaccination + recovery empty all three pools); returns
+    (R, T, 5) SEIRV series.  Thresholds are shared (param_list[0])."""
+    pe = pack_replicas(base, param_list, block_rows=block_rows)
     state = init_packed_state(
         pe, seed=seed, starting_infected=cfg.starting_infected
     )

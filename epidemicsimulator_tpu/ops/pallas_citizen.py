@@ -140,17 +140,34 @@ SCHED_AT_WORK_WS = 8
 SCHED_ON_BUS_WS = 16
 
 
-def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, refs):
-    (ints, f32s), ext_c, ext_t, ext_b, ctr, outs = refs
+def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, blocks_per_rep,
+            refs):
+    (ints, f32s), rep_refs, ext_c, ext_t, ext_b, ctr, outs = refs
     b = pl.program_id(0)
     h24 = ints[0, 0]
-    move = ints[1, 0] != 0
-    mask_status = ints[2, 0]
     seed = ints[3, 0].astype(jnp.uint32)
-    e_time = ints[4, 0]
-    i_time = ints[5, 0]
-    p0 = f32s[0, 0]
     mask_scale = f32s[1, 0]  # 1 - mask_effectiveness
+    if blocks_per_rep is None:
+        move = ints[1, 0] != 0
+        mask_status = ints[2, 0]
+        e_time = ints[4, 0]
+        i_time = ints[5, 0]
+        p0 = f32s[0, 0]
+    else:
+        # Ensemble mode (engine/packed.py): replicas are contiguous,
+        # block-aligned spans, so the per-replica parameter set is one
+        # scalar SMEM row selected by this block's replica id.  Halo rows
+        # read from an adjacent replica are advanced with the WRONG
+        # replica's (move, e_time, i_time) — harmless: halo lanes only
+        # feed the household window, whose pos/size gates never select
+        # across a household (hence replica) boundary.
+        rep_i, rep_f = rep_refs
+        rep = b // blocks_per_rep
+        move = rep_i[rep, 0] != 0
+        mask_status = rep_i[rep, 1]
+        e_time = rep_i[rep, 2]
+        i_time = rep_i[rep, 3]
+        p0 = rep_f[rep, 0]
 
     # ---- halo-extended frame -------------------------------------------
     def ext(i):
@@ -312,20 +329,25 @@ def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, refs):
     outs[3][:] = gates.astype(jnp.int8)
 
 
-def _kernel_entry(K, ref_mask_sem, u8_trunc, n_real, block_rows, *refs):
+def _kernel_entry(K, ref_mask_sem, u8_trunc, n_real, block_rows,
+                  blocks_per_rep, *refs):
     n_ext = len(_EXT_LANES)
     n_ctr = len(_CTR_LANES)
     i = 0
     ints = refs[i]; i += 1
     f32s = refs[i]; i += 1
+    if blocks_per_rep is not None:
+        rep_refs = (refs[i], refs[i + 1]); i += 2
+    else:
+        rep_refs = None
     ext_c = refs[i : i + n_ext]; i += n_ext
     ext_t = refs[i : i + n_ext]; i += n_ext
     ext_b = refs[i : i + n_ext]; i += n_ext
     ctr = refs[i : i + n_ctr]; i += n_ctr
     outs = refs[i:]
     _kernel(
-        K, ref_mask_sem, u8_trunc, n_real, block_rows,
-        ((ints, f32s), ext_c, ext_t, ext_b, ctr, outs),
+        K, ref_mask_sem, u8_trunc, n_real, block_rows, blocks_per_rep,
+        ((ints, f32s), rep_refs, ext_c, ext_t, ext_b, ctr, outs),
     )
 
 
@@ -333,7 +355,7 @@ def _kernel_entry(K, ref_mask_sem, u8_trunc, n_real, block_rows, *refs):
     jax.jit,
     static_argnames=(
         "K", "ref_mask_sem", "u8_trunc", "block_rows", "interpret",
-        "n_citizens",
+        "n_citizens", "blocks_per_rep",
     ),
 )
 def citizen_phase(
@@ -341,7 +363,7 @@ def citizen_phase(
     status, timer, sched,
     int_scalars, f32_scalars,
     *, K, ref_mask_sem, u8_trunc, block_rows=512, interpret=False,
-    n_citizens=None,
+    n_citizens=None, rep_ints=None, rep_f32s=None, blocks_per_rep=None,
 ):
     """Run the fused citizen phase.  Dynamic lanes are (N,) arrays —
     ``sched`` carries the five schedule bools packed s8 (bits 0-4:
@@ -363,6 +385,14 @@ def citizen_phase(
     scan carry, engine/state.py::to_2d_carry) — then they are consumed
     without per-step pad/reshape passes and returned (rows, 128) too;
     ``n_citizens`` must give the true population for the flat outputs.
+
+    Ensemble mode (engine/packed.py): pass ``rep_ints`` (R, 4) int32
+    [move, mask_status, exposed_time, infected_time], ``rep_f32s`` (R, 1)
+    f32 [exposure_chance] and static ``blocks_per_rep``.  Replicas must be
+    contiguous equal spans of exactly ``blocks_per_rep * block_rows * 128``
+    lanes (pack_replicas pads each replica to the boundary); the kernel
+    then reads this block's parameter row from SMEM and int_scalars
+    positions 1/2/4/5 and f32_scalars[0] are ignored.
     """
     two_d = getattr(status, "ndim", 1) == 2
     if two_d:
@@ -428,8 +458,27 @@ def citizen_phase(
     ]
     out_specs = [main] * 4 + [part]
 
+    rep_args: tuple = ()
+    rep_specs: list = []
+    if blocks_per_rep is not None:
+        if rep_ints is None or rep_f32s is None:
+            raise ValueError("blocks_per_rep requires rep_ints and rep_f32s")
+        R_ = rep_ints.shape[0]
+        assert n_blocks == R_ * blocks_per_rep, (
+            f"grid {n_blocks} != {R_} replicas x {blocks_per_rep} blocks"
+        )
+        rep_args = (
+            jnp.asarray(rep_ints, jnp.int32),
+            jnp.asarray(rep_f32s, jnp.float32),
+        )
+        rep_specs = [
+            pl.BlockSpec((R_, 4), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((R_, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        ]
+
     kern = functools.partial(
-        _kernel_entry, K, ref_mask_sem, u8_trunc, n, block_rows
+        _kernel_entry, K, ref_mask_sem, u8_trunc, n, block_rows,
+        blocks_per_rep,
     )
     extra = {}
     if not interpret:
@@ -441,7 +490,7 @@ def citizen_phase(
     res = pl.pallas_call(
         kern,
         grid=(n_blocks,),
-        in_specs=[smem, smem_f]
+        in_specs=[smem, smem_f] + rep_specs
         + [main] * len(_EXT_LANES)
         + [halo_top] * len(_EXT_LANES)
         + [halo_bot] * len(_EXT_LANES)
@@ -451,7 +500,7 @@ def citizen_phase(
         interpret=interpret,
         **extra,
     )(
-        int_scalars.reshape(8, 1), f32_scalars.reshape(2, 1),
+        int_scalars.reshape(8, 1), f32_scalars.reshape(2, 1), *rep_args,
         *ext_arrays, *ext_arrays, *ext_arrays, *ctr_arrays,
     )
     if two_d:

@@ -79,9 +79,12 @@ def test_packed_matches_solo_deterministic():
     status0[::191] = STATUS_INFECTED
 
     pe = pack_replicas(base, param_list)
-    R, n = pe.n_replicas, pe.rep_size
+    R, n, stride = pe.n_replicas, pe.rep_size, pe.rep_stride
     st = init_packed_state(pe, seed=0, starting_infected=0)
-    packed_status0 = np.tile(status0, R)
+    # real citizens get status0; the block-alignment pad lanes stay 5
+    packed_status0 = np.tile(
+        np.concatenate([status0, np.full(stride - n, 5, np.int8)]), R
+    )
     st = dataclasses.replace(
         st, status=__import__("jax").numpy.asarray(packed_status0)
     )
@@ -154,3 +157,68 @@ def test_packed_replica_independence():
     assert not np.array_equal(seirv[0], seirv[1]), (
         "replicas share RNG streams"
     )
+
+
+def test_packed_fused_kernel_bitwise_matches_xla():
+    """The fused citizen kernel's ensemble mode (per-replica parameter rows
+    in SMEM, replica-aligned blocks; ops/pallas_citizen.py) must reproduce
+    the XLA packed step bitwise in deterministic regimes.  Per-replica
+    parameter routing is exercised hard: replica 2 has exposure_chance=0 so
+    any SMEM row mix-up floods it with infections; different exposed/
+    infected times desynchronise the replicas' lockdown + vaccination
+    triggers, so the per-replica move/mask rows vary across blocks."""
+    import jax
+
+    base = generate_synthetic_world(3000, n_output_areas=8, seed=6)
+    b = Params.covid()
+    th = dataclasses.replace(
+        b.thresholds, lockdown=0.2, vaccination=0.05,
+        mask_public_transport=2.0, mask_everywhere=2.0,
+    )
+    param_list = [
+        Params(
+            dataclasses.replace(
+                b.disease, exposure_chance=ch, exposed_time=et,
+                infected_time=it, vaccination_rate=10,
+            ),
+            th,
+        )
+        for ch, et, it in [(1.0, 6, 12), (1.0, 10, 20), (0.0, 4, 30)]
+    ]
+    steps = 60
+    status0 = np.zeros(base.n_citizens, np.int8)
+    status0[::191] = STATUS_INFECTED
+
+    pe = pack_replicas(base, param_list, block_rows=32)
+    assert pe.rep_stride > pe.rep_size, "padding path not exercised"
+    results = {}
+    for fused in (False, True):
+        cfg = SimConfig(
+            max_steps=steps, chunk_size=steps,
+            use_fused_citizen=fused, use_pallas_scans=False,
+            bus_capacity=8192,
+        )
+        st = init_packed_state(pe, seed=0, starting_infected=0)
+        stride, n, R = pe.rep_stride, pe.rep_size, pe.n_replicas
+        packed_status0 = np.tile(
+            np.concatenate([status0, np.full(stride - n, 5, np.int8)]), R
+        )
+        st = dataclasses.replace(
+            st, status=__import__("jax").numpy.asarray(packed_status0)
+        )
+        runner = make_packed_runner(pe, cfg)
+        fs, seirv = runner(param_list[0].as_arrays().thresholds, st)
+        results[fused] = (
+            np.asarray(seirv),
+            np.asarray(fs.status), np.asarray(fs.timer),
+            np.asarray(fs.sched), np.asarray(fs.lockdown),
+            np.asarray(fs.mask_status), np.asarray(fs.eligible),
+        )
+    names = ("seirv", "status", "timer", "sched", "lockdown", "mask", "elig")
+    for name, a, bb in zip(names, results[False], results[True]):
+        np.testing.assert_array_equal(a, bb, err_msg=f"{name} diverged")
+    # replica 2 (chance 0): nobody beyond the seeds ever gets exposed
+    seirv = results[True][0]
+    assert (seirv[:, 2, 1] == 0).all(), "chance-0 replica saw exposures"
+    # replicas 0/1 must diverge from each other (different timer params)
+    assert not np.array_equal(seirv[:, 0], seirv[:, 1])

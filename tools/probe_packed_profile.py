@@ -20,6 +20,11 @@ def main():
     ap.add_argument("--replicates", type=int, default=64)
     ap.add_argument("--citizens", type=int, default=208_000)
     ap.add_argument("--out", default="/tmp/packed_prof")
+    ap.add_argument("--block-rows", type=int, default=128)
+    ap.add_argument("--no-vax", action="store_true",
+                    help="disable the vaccination program (isolates the "
+                         "fired-cond stall)")
+    ap.add_argument("--no-lockdown", action="store_true")
     args = ap.parse_args()
     from epidemicsimulator_tpu.utils import enable_compilation_cache
 
@@ -42,6 +47,11 @@ def main():
     import numpy as np
 
     bp = Params.covid()
+    th0 = bp.thresholds
+    if args.no_vax:
+        th0 = dataclasses.replace(th0, vaccination=-1.0)
+    if args.no_lockdown:
+        th0 = dataclasses.replace(th0, lockdown=-1.0)
     rng = np.random.default_rng(0)
     param_list = [
         Params(
@@ -53,12 +63,12 @@ def main():
                 exposed_time=int(rng.integers(24, 120)),
                 infected_time=int(rng.integers(96, 336)),
             ),
-            bp.thresholds,
+            th0,
         )
         for _ in range(args.replicates)
     ]
     t0 = time.perf_counter()
-    pe = pack_replicas(base, param_list)
+    pe = pack_replicas(base, param_list, block_rows=args.block_rows)
     print(f"pack: {time.perf_counter() - t0:.1f}s "
           f"({pe.world.n_citizens:,} packed citizens)", flush=True)
     th = param_list[0].as_arrays().thresholds
