@@ -74,8 +74,11 @@ def download_table(
     import requests
 
     sess = session or requests.Session()
+    # resume_from_row in (None, 0) means a fresh download: appending from
+    # page 0 would duplicate the whole table (including the page-0 CSV
+    # header mid-file, since ExcludeColumnHeadings is only sent past page 0).
     index = (resume_from_row or 0) // PAGE_SIZE
-    mode = "ab" if resume_from_row is not None else "wb"
+    mode = "ab" if resume_from_row else "wb"
     os.makedirs(os.path.dirname(dest_path) or ".", exist_ok=True)
 
     with open(dest_path, mode) as f:

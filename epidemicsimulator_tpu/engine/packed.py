@@ -12,11 +12,13 @@ steps all replicates:
   (``block_rows * 128`` lanes; pad citizens are inert singleton households
   with status 5, outside every census, draw and mask), so every kernel
   block belongs to exactly one replica;
-* the swept disease parameters (exposure_chance, exposed_time,
-  infected_time) and the per-replica intervention state (lockdown, mask
-  status) reach the fused citizen kernel as (R,)-row SMEM tables selected
-  by the block's replica id (ops/pallas_citizen.py ensemble mode) — no
-  per-citizen parameter lanes, no extra HBM traffic;
+* the swept disease parameters (every DiseaseParams field: exposure_chance,
+  exposed_time, infected_time, mask_effectiveness, vaccination_rate) and
+  the per-replica intervention state (lockdown, mask status) reach the
+  fused citizen kernel as (R,)-row SMEM tables selected by the block's
+  replica id (ops/pallas_citizen.py ensemble mode) — no per-citizen
+  parameter lanes, no extra HBM traffic; intervention thresholds are (R,)
+  rows compared against the (R,) per-replica census;
 * the per-replica SEIRV census falls out of the kernel's per-block
   partials (replica-aligned blocks sum directly);
 * work / bus / vaccination run the regular fast-path formulations over the
@@ -71,13 +73,13 @@ class PackedEnsemble:
     """One world holding R block-aligned replicas + (R,) parameter rows."""
 
     world: World
-    # swept per-replica disease parameters
+    # swept per-replica disease parameters — EVERY DiseaseParams field is a
+    # per-replica row, so the sweep surface equals the vmapped engine's
     chance: Any          # f32 (R,)
     exposed_time: Any    # i32 (R,)
     infected_time: Any   # i32 (R,)
-    # shared scalars
-    mask_effectiveness: Any  # f32
-    vaccination_rate: Any    # i32
+    mask_effectiveness: Any  # f32 (R,)
+    vaccination_rate: Any    # i32 (R,)
     n_replicas: int = dataclasses.field(metadata=dict(static=True))
     rep_size: int = dataclasses.field(metadata=dict(static=True))
     #: padded per-replica lane count (multiple of block_rows * 128)
@@ -179,14 +181,19 @@ def pack_replicas(base: World, param_list: list[Params], *,
     it = np.array(
         [int(jax.device_get(d.infected_time)) for d in ds], np.int32
     )
+    me = np.array(
+        [float(jax.device_get(d.mask_effectiveness)) for d in ds], np.float32
+    )
+    vr = np.array(
+        [int(jax.device_get(d.vaccination_rate)) for d in ds], np.int32
+    )
     return PackedEnsemble(
         world=world,
         chance=chance,
         exposed_time=et,
         infected_time=it,
-        mask_effectiveness=np.float32(
-            jax.device_get(ds[0].mask_effectiveness)),
-        vaccination_rate=np.int32(jax.device_get(ds[0].vaccination_rate)),
+        mask_effectiveness=me,
+        vaccination_rate=vr,
         n_replicas=R,
         rep_size=n,
         rep_stride=stride,
@@ -290,8 +297,17 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
     def trunc(x):
         return truncate_u8(x) if cfg.reference_u8_truncation else x
 
-    ms_cit = _rep_lane(state.mask_status, R, stride)
-    chance_cit = _rep_lane(jnp.asarray(pe.chance, jnp.float32), R, stride)
+    def param_lanes():
+        """(N,) per-citizen views of the (R,) parameter/state rows — built
+        at each use site (inside the gated cond branches) so the conds
+        carry (R,) operands instead of materialised N-sized lanes."""
+        return (
+            _rep_lane(state.mask_status, R, stride),
+            _rep_lane(jnp.asarray(pe.chance, jnp.float32), R, stride),
+            _rep_lane(
+                jnp.asarray(pe.mask_effectiveness, jnp.float32), R, stride
+            ),
+        )
 
     if use_fused:
         # Stages 1-4 fused (ops/pallas_citizen.py ensemble mode): timers,
@@ -309,11 +325,7 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
             jax.lax.bitcast_convert_type(seed_h, jnp.int32),
             zero, zero, zero, zero,
         ])
-        f32s = jnp.stack([
-            jnp.float32(0.0),
-            jnp.asarray(1.0, jnp.float32)
-            - jnp.asarray(pe.mask_effectiveness, jnp.float32),
-        ])
+        f32s = jnp.stack([jnp.float32(0.0), jnp.float32(0.0)])
         rep_ints = jnp.stack(
             [
                 move_r.astype(jnp.int32),
@@ -323,7 +335,14 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
             ],
             axis=1,
         )
-        rep_f32s = jnp.asarray(pe.chance, jnp.float32)[:, None]
+        rep_f32s = jnp.stack(
+            [
+                jnp.asarray(pe.chance, jnp.float32),
+                jnp.asarray(1.0, jnp.float32)
+                - jnp.asarray(pe.mask_effectiveness, jnp.float32),
+            ],
+            axis=1,
+        )
         (status, timer, sched1, fwd_packed, partials) = citizen_phase(
             statics,
             state.status, state.timer, state.sched,
@@ -359,6 +378,8 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
         btw0 = (s0 & 4) != 0
         at_work_ws0 = (s0 & 8) != 0
         on_bus_ws0 = (s0 & 16) != 0
+
+        ms_cit, chance_cit, eff_cit = param_lanes()
 
         class _D:
             exposed_time = _rep_lane(
@@ -405,7 +426,7 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
                 contrib_home, world.home_start_mask, world.home_end_mask
             )
         p_cit = _exposure_p(
-            chance_cit, pe.mask_effectiveness, ms_cit,
+            chance_cit, eff_cit, ms_cit,
             world.mask_compliant, on_bus, cfg.reference_mask_semantics,
         )
         cur_oa = jnp.where(at_work, world.work_oa, world.home_oa)
@@ -471,9 +492,11 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
         at_work_ws_l = (_sched_flat() & 8) != 0
         on_bus_ws_l = (_sched_flat() & 16) != 0
         # ws order is replica-major equal blocks, so the citizen-order
-        # broadcast lanes (chance, mask status) are also the ws-order ones
+        # broadcast lanes (chance, mask status, effectiveness) are also the
+        # ws-order ones; built INSIDE the branch from (R,) rows
+        ms_ws, chance_ws, eff_ws = param_lanes()
         p_ws = _exposure_p(
-            chance_cit, pe.mask_effectiveness, ms_cit,
+            chance_ws, eff_ws, ms_ws,
             world.ws_mask_compliant, on_bus_ws_l,
             cfg.reference_mask_semantics,
         )
@@ -520,6 +543,12 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
     rp = world.rider_perm
     R_riders = rp.shape[0]
     r_base = R_riders // max(R, 1)
+    # pack_replicas guarantees equal rider blocks per replica; any other
+    # World handed in must fail loudly, not mis-align every rider lane
+    assert R_riders == R * r_base, (
+        f"packed rider count {R_riders} is not a multiple of "
+        f"n_replicas={R}; per-replica rider lanes would mis-align"
+    )
 
     def bus_side(gates):
         pk = permute_by_sort(world.rpos, gates, bits=5)[:R_riders]
@@ -528,12 +557,14 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
         rb_susc = (pk & 2) != 0
         # rider order is replica-major with equal blocks (same base riders;
         # pads never ride)
-        ms_r = jnp.broadcast_to(
-            state.mask_status[:, None], (R, r_base)
-        ).reshape(-1)
-        ch_r = jnp.broadcast_to(
-            jnp.asarray(pe.chance, jnp.float32)[:, None], (R, r_base)
-        ).reshape(-1)
+        def rep_rider(vec_r, dtype):
+            return jnp.broadcast_to(
+                jnp.asarray(vec_r, dtype)[:, None], (R, r_base)
+            ).reshape(-1)
+
+        ms_r = rep_rider(state.mask_status, state.mask_status.dtype)
+        ch_r = rep_rider(pe.chance, jnp.float32)
+        eff_r = rep_rider(pe.mask_effectiveness, jnp.float32)
         compliant_r = world.rider_mask_compliant
         if cfg.reference_mask_semantics:
             active_r = (ms_r == MASK_EVERYWHERE) & ~compliant_r
@@ -543,7 +574,7 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
                 | ((ms_r == MASK_PUBLIC_TRANSPORT) & rb_on)
             )
         rb_chance = jnp.asarray(
-            ch_r * jnp.where(active_r, 1.0 - pe.mask_effectiveness, 1.0),
+            ch_r * jnp.where(active_r, 1.0 - eff_r, 1.0),
             jnp.float32,
         )
         return bus_hits(
@@ -723,12 +754,16 @@ def run_packed_ensemble(base: World, param_list: list[Params],
     """Pack, run to cfg.max_steps (early exit when ALL replicas are done:
     disease_exists = S+E+I > 0, statistics.rs:289-291 — the reference run
     ends only when vaccination + recovery empty all three pools); returns
-    (R, T, 5) SEIRV series.  Thresholds are shared (param_list[0])."""
+    (R, T, 5) SEIRV series.  Thresholds are swept per replica ((R,) rows —
+    the intervention comparisons broadcast against the (R,) census)."""
     pe = pack_replicas(base, param_list, block_rows=block_rows)
     state = init_packed_state(
         pe, seed=seed, starting_infected=cfg.starting_infected
     )
-    th = param_list[0].as_arrays().thresholds
+    th = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[p.as_arrays().thresholds for p in param_list],
+    )
     runner = make_packed_runner(pe, cfg)
     chunks = []
     steps = 0

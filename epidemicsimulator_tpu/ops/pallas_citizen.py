@@ -146,13 +146,13 @@ def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, blocks_per_rep,
     b = pl.program_id(0)
     h24 = ints[0, 0]
     seed = ints[3, 0].astype(jnp.uint32)
-    mask_scale = f32s[1, 0]  # 1 - mask_effectiveness
     if blocks_per_rep is None:
         move = ints[1, 0] != 0
         mask_status = ints[2, 0]
         e_time = ints[4, 0]
         i_time = ints[5, 0]
         p0 = f32s[0, 0]
+        mask_scale = f32s[1, 0]  # 1 - mask_effectiveness
     else:
         # Ensemble mode (engine/packed.py): replicas are contiguous,
         # block-aligned spans, so the per-replica parameter set is one
@@ -168,6 +168,7 @@ def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, blocks_per_rep,
         e_time = rep_i[rep, 2]
         i_time = rep_i[rep, 3]
         p0 = rep_f[rep, 0]
+        mask_scale = rep_f[rep, 1]  # 1 - mask_effectiveness, per replica
 
     # ---- halo-extended frame -------------------------------------------
     def ext(i):
@@ -275,11 +276,16 @@ def _kernel(K, ref_mask_sem, u8_trunc, n_real, block_rows, blocks_per_rep,
     )
     q_home = jnp.where(~at_work1_c | same_oa, q_home, 0.0)
 
-    # 6. home draw via counter-hash uniforms
+    # 6. home draw via counter-hash uniforms, keyed on the GLOBAL citizen id
+    #    (flat position + the caller's gid0 offset, ints[6]) — a shard of a
+    #    partitioned world (parallel/fastmesh.py) passes its global offset
+    #    so sharded and single-device streams are bitwise-identical;
+    #    single-device callers pass 0.
+    gid0 = ints[6, 0]
     row = jax.lax.broadcasted_iota(jnp.int32, q_home.shape, 0)
     colc = jax.lax.broadcasted_iota(jnp.int32, q_home.shape, 1)
     flat = (b * block_rows + row) * LANES + colc
-    u = hash_uniform(seed, flat.astype(jnp.uint32))
+    u = hash_uniform(seed, (flat + gid0).astype(jnp.uint32))
     susceptible = status1_c == 0
     hit_home = susceptible & (u < q_home)
 
@@ -369,8 +375,10 @@ def citizen_phase(
     ``sched`` carries the five schedule bools packed s8 (bits 0-4:
     at_work, on_bus, bus_to_work, at_work_ws, on_bus_ws; see
     engine/state.py::pack_sched); scalar vectors are int32 (8,) [h24,
-    move, mask_status, seed, exposed_time, infected_time, 0, 0] and f32
-    (2,) [exposure_chance, 1-mask_eff].
+    move, mask_status, seed, exposed_time, infected_time, gid0, 0] and f32
+    (2,) [exposure_chance, 1-mask_eff].  ``gid0`` offsets the home-draw
+    hash index (global citizen id of lane 0 — nonzero only for shards of a
+    partitioned world, parallel/fastmesh.py).
 
     Returns (status1, timer1, sched1, gates, partials) with lanes (N,) and
     partials (n_blocks, 8) int32:
@@ -387,8 +395,9 @@ def citizen_phase(
     ``n_citizens`` must give the true population for the flat outputs.
 
     Ensemble mode (engine/packed.py): pass ``rep_ints`` (R, 4) int32
-    [move, mask_status, exposed_time, infected_time], ``rep_f32s`` (R, 1)
-    f32 [exposure_chance] and static ``blocks_per_rep``.  Replicas must be
+    [move, mask_status, exposed_time, infected_time], ``rep_f32s`` (R, 2)
+    f32 [exposure_chance, 1-mask_effectiveness] and static
+    ``blocks_per_rep``.  Replicas must be
     contiguous equal spans of exactly ``blocks_per_rep * block_rows * 128``
     lanes (pack_replicas pads each replica to the boundary); the kernel
     then reads this block's parameter row from SMEM and int_scalars
@@ -471,9 +480,13 @@ def citizen_phase(
             jnp.asarray(rep_ints, jnp.int32),
             jnp.asarray(rep_f32s, jnp.float32),
         )
+        if rep_f32s.shape[1] != 2:
+            raise ValueError(
+                "rep_f32s must be (R, 2): [exposure_chance, 1-mask_eff]"
+            )
         rep_specs = [
             pl.BlockSpec((R_, 4), lambda b: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((R_, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((R_, 2), lambda b: (0, 0), memory_space=pltpu.SMEM),
         ]
 
     kern = functools.partial(

@@ -3,7 +3,7 @@
 Pairs with :mod:`.partition` (household-aligned shards + static ghost work
 slots).  Communication per step, all over ICI:
 
-* one ``all_to_all`` of packed int8 ghost bits out (5 bits per cross-shard
+* one ``all_to_all`` of packed int8 ghost bits out (6 bits per cross-shard
   worker) and one back (1 hit bit) — the only agent-level exchange;
 * ``psum`` of the SEIRV census, exposure counters and per-OA tables;
 * ``all_gather`` of per-shard scalar counts for exact global-k vaccination.
@@ -11,6 +11,19 @@ slots).  Communication per step, all over ICI:
 Home (household window) and bus mixing are fully shard-local by
 construction.  This is the TPU analog of the reference's cross-OA
 migration merge (simulator.rs:218-257), reduced to a few static bits.
+
+The per-shard step runs the SAME engine as the single-device fast path
+(the reference's parallel path runs its fastest engine too,
+simulator.rs:94-96): the fused Pallas citizen kernel per shard (timers,
+movement, census partials, household window, home draw in one pass —
+ops/pallas_citizen.py, hashing global citizen ids via the gid0 offset so
+streams stay bitwise-identical to single-device), fused Pallas run totals
+on the work slots, lax.cond gating of the work/bus sides on psum'd
+pressure predicates (value-identical no-ops when zero), and the K-bounded
+sparse hit return (slot -> local citizen via the static unsort table)
+instead of a second full-length permutation sort.  A pure-XLA branch
+(use_fused_citizen=False) keeps the portable formulation for CPU meshes;
+both branches are bitwise-identical (tests/test_fastmesh.py).
 """
 
 from __future__ import annotations
@@ -53,10 +66,70 @@ def _ext(lane, pad_value):
     )
 
 
+def _use_fused(sw: ShardedWorld, cfg: SimConfig):
+    """(use_pallas, use_fused) resolution — mirrors engine/fastpath.py."""
+    use_pallas = cfg.use_pallas_scans
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    use_fused = cfg.use_fused_citizen
+    if use_fused is None:
+        use_fused = use_pallas and 0 < sw.max_household_size <= 24
+    if use_fused and not 0 < sw.max_household_size <= 24:
+        raise ValueError(
+            "use_fused_citizen requires 0 < max_household_size <= 24"
+        )
+    return use_pallas, use_fused
+
+
+def _shard_citizen_statics(sw: ShardedWorld, sq):
+    """Per-shard CitizenStatics (ops/pallas_citizen.py bit layout) from the
+    partitioned lanes.  The sharded formulation has no work-order twin, so
+    the d/e lanes' work-schedule fields are zero — the kernel's ws-movement
+    sched bits (3/4) are carried but never read here.  Built once per
+    chunk, outside the scan (loop-invariant)."""
+    import functools
+
+    from ..ops.pallas_citizen import LANES, CitizenStatics, _pad_rows
+
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+    ws = i32(sq(sw.work_start))
+    we = i32(sq(sw.work_end))
+    uses = i32(sq(sw.uses_transport))
+    wneq = i32(sq(sw.work_neq_home))
+    pos = i32(sq(sw.hh_pos))
+    size = i32(sq(sw.hh_size))
+    compliant = i32(sq(sw.mask_compliant))
+    same_oa = i32(sq(sw.same_oa))
+    rows = -(-sw.shard_size // LANES)
+    p = functools.partial(_pad_rows, rows=rows)
+    return CitizenStatics(
+        a=p((ws | (uses << 5) | (wneq << 6)).astype(jnp.int8)),
+        b=p((we | ((pos & 7) << 5)).astype(jnp.int8)),
+        c=p(((pos >> 3) | (size << 2)).astype(jnp.int8)),
+        d=p(((compliant << 5) | (same_oa << 6)).astype(jnp.int8)),
+        e=p(jnp.zeros_like(ws).astype(jnp.int8)),
+    )
+
+
 def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
-                    state: SimState):
+                    state: SimState, fused_statics=None):
     """One hour on one shard (inside shard_map).  Per-citizen lanes are
-    local (S,); scalars and outputs are replicated via psum."""
+    local (S,); scalars and outputs are replicated via psum.
+
+    Two formulations, bitwise-identical (tests/test_fastmesh.py):
+
+    * fused (TPU): stages 1-4 run the fused Pallas citizen kernel per
+      shard — the same engine as the single-device fast path — with the
+      shard's global-id offset keying the home draw, so streams equal
+      single-device; the schedule bools ride the packed s8 ``sched`` lane.
+    * XLA (CPU meshes / opt-out): the portable elementwise formulation
+      with bool schedule lanes.
+
+    The work and bus sides are gated ``lax.cond``s on psum'd pressure
+    predicates (replicated, so every shard takes the same branch and the
+    collectives inside stay legal); the gated blocks are value-identical
+    no-ops when their pressure is zero.
+    """
     d = params.disease
     th = params.thresholds
     S = sw.shard_size
@@ -64,6 +137,11 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
     L = sw.sort_len
     G = sw.n_ghost
     n_dev = sw.n_dev
+    use_pallas, use_fused = _use_fused(sw, cfg)
+    if use_pallas:
+        from ..ops.pallas_scans import range_totals_pallas as _range_totals
+    else:
+        _range_totals = range_totals
 
     def gsum(x):
         return jax.lax.psum(x, AXIS)
@@ -87,139 +165,264 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
     from ..ops.hashrng import hash_bits, hash_uniform
 
     gid_u32 = sq(sw.global_id).astype(jnp.uint32)
-
-    # 1. timers (disease.rs:47-71); PAD_STATUS citizens never transition
-    status, timer = state.status, jnp.asarray(state.timer, jnp.int32)
-    is_e = status == STATUS_EXPOSED
-    is_i = status == STATUS_INFECTED
-    e_to_i = is_e & (timer >= d.exposed_time)
-    i_to_r = is_i & (timer >= d.infected_time)
-    status = jnp.where(e_to_i, STATUS_INFECTED, status)
-    status = jnp.where(i_to_r, jnp.int8(3), status).astype(jnp.int8)
-    timer = jnp.where(e_to_i | i_to_r, 0, jnp.where(is_e | is_i, timer + 1, timer))
-
-    # 2. movement (citizen.rs:168-216)
     h24 = (hour % 24).astype(jnp.int8)
     move = ~state.lockdown
-    at_work, on_bus, bus_to_work = _movement(
-        h24, sq(sw.work_start), sq(sw.work_end), sq(sw.uses_transport),
-        move, state.at_work, state.on_bus, state.bus_to_work,
-    )
-
-    # 3. census post-advance (simulator.rs:178); pads are status 5
-    seirv0 = gsum(
-        jnp.stack([jnp.sum((status == s).astype(jnp.int32)) for s in range(5)])
-    )
-
-    # 4. home side: households never straddle shards, so the shift-window
-    #    sum is fully local
-    inf_active = (status == STATUS_INFECTED) & ~on_bus
-    wneq = sq(sw.work_neq_home)
-    contrib_home = inf_active & (~at_work | ~wneq)
     K = sw.max_household_size
-    pos, size = sq(sw.hh_pos), sq(sw.hh_size)
-    if 0 < K <= 24:
-        c8 = contrib_home.astype(jnp.int8)
-        acc = contrib_home.astype(jnp.int32)
-        for dd in range(1, K):
-            acc = acc + jnp.where(pos + dd < size, jnp.roll(c8, -dd), 0)
-            acc = acc + jnp.where(pos - dd >= 0, jnp.roll(c8, dd), 0)
-        n_h = acc
-    else:
-        hh_start = pos == 0
-        hh_end = pos == size - 1
-        n_h = run_totals(contrib_home, hh_start, hh_end)
 
     def trunc(x):
         return truncate_u8(x) if cfg.reference_u8_truncation else x
 
-    p_cit = _exposure_p(
-        d.exposure_chance, d.mask_effectiveness, state.mask_status,
-        sq(sw.mask_compliant), on_bus, cfg.reference_mask_semantics,
-    )
-    same_oa = sq(sw.same_oa)
-    q_home = jnp.where(
-        ~at_work | same_oa, binomial_at_least_one(p_cit, trunc(n_h)), 0.0
-    )
-    susceptible = status == STATUS_SUSCEPTIBLE
-    hit_home = susceptible & (hash_uniform(seed_h, gid_u32) < q_home)
+    if use_fused:
+        # Stages 1-4 + the cond-operand packing in one Pallas pass: timers,
+        # movement, census partials, household window, home draw — the
+        # home-draw hash is keyed on gid0 + lane (= global citizen id), so
+        # the stream equals single-device bitwise.
+        from ..ops.pallas_citizen import citizen_phase
 
-    # 5-7. work side with ghost slots.  5 packed bits per participant.
-    contrib_work = inf_active & at_work & wneq
-    fwd5 = (
-        contrib_work.astype(jnp.int8)
-        | (susceptible.astype(jnp.int8) << 1)
-        | (hit_home.astype(jnp.int8) << 2)
-        | (at_work.astype(jnp.int8) << 3)
-        | (on_bus.astype(jnp.int8) << 4)
-    )
-    lane_L = jnp.concatenate([fwd5, jnp.zeros((L - S,), jnp.int8)])
-    slots = permute_by_sort(sq(sw.sort_rank), lane_L, bits=5)[:W]
+        statics = (
+            fused_statics if fused_statics is not None
+            else _shard_citizen_statics(sw, sq)
+        )
+        gid0 = sq(sw.global_id)[0]  # shards are contiguous global ranges
+        ints = jnp.stack([
+            h24.astype(jnp.int32),
+            move.astype(jnp.int32),
+            state.mask_status.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(seed_h, jnp.int32),
+            jnp.asarray(d.exposed_time, jnp.int32),
+            jnp.asarray(d.infected_time, jnp.int32),
+            gid0.astype(jnp.int32),
+            jnp.int32(0),
+        ])
+        f32s = jnp.stack([
+            jnp.asarray(d.exposure_chance, jnp.float32),
+            jnp.asarray(1.0, jnp.float32)
+            - jnp.asarray(d.mask_effectiveness, jnp.float32),
+        ])
+        (status, timer, sched1, gates, partials) = citizen_phase(
+            statics,
+            state.status, state.timer, state.sched,
+            ints, f32s,
+            K=K,
+            ref_mask_sem=cfg.reference_mask_semantics,
+            u8_trunc=cfg.reference_u8_truncation,
+            block_rows=cfg.fused_block_rows,
+            interpret=jax.default_backend() != "tpu",
+        )
+        timer = jnp.asarray(timer, jnp.int32)
+        # kernel gates: contrib_work | susceptible<<1 | hit_home<<2 |
+        # on_bus<<3 | infected<<4; add at_work (sched bit 0) as bit 5 for
+        # the slot machinery.
+        hit_home = (gates & 4) != 0
+        fwd6 = gates | ((sched1 & 1) << 5)
+        seirv0 = gsum(jnp.sum(partials[:, :5], axis=0))
+        work_pred = gsum(jnp.sum(partials[:, 5])) > 0
+        bus_pred = gsum(jnp.sum(partials[:, 6])) > 0
+        sched_lanes = dict(
+            sched=sched1,
+            at_work=jnp.zeros((0,), jnp.bool_),
+            on_bus=jnp.zeros((0,), jnp.bool_),
+            bus_to_work=jnp.zeros((0,), jnp.bool_),
+        )
+    else:
+        # 1. timers (disease.rs:47-71); PAD_STATUS citizens never transition
+        status, timer = state.status, jnp.asarray(state.timer, jnp.int32)
+        is_e = status == STATUS_EXPOSED
+        is_i = status == STATUS_INFECTED
+        e_to_i = is_e & (timer >= d.exposed_time)
+        i_to_r = is_i & (timer >= d.infected_time)
+        status = jnp.where(e_to_i, STATUS_INFECTED, status)
+        status = jnp.where(i_to_r, jnp.int8(3), status).astype(jnp.int8)
+        timer = jnp.where(
+            e_to_i | i_to_r, 0, jnp.where(is_e | is_i, timer + 1, timer)
+        )
 
-    # ghost bits out: gather my cross-shard workers' bits, exchange, and
-    # overwrite the (garbage) ghost slot positions at the owner
-    fwd5_ext = _ext(fwd5, 0)
-    send = jnp.take(fwd5_ext, sq(sw.out_ghost_src).reshape(-1)).reshape(
-        n_dev, G
-    )
-    recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
-    slots = slots.at[sq(sw.recv_slot_pos).reshape(-1)].set(
-        recv.reshape(-1), mode="drop"
-    )
+        # 2. movement (citizen.rs:168-216)
+        at_work, on_bus, bus_to_work = _movement(
+            h24, sq(sw.work_start), sq(sw.work_end), sq(sw.uses_transport),
+            move, state.at_work, state.on_bus, state.bus_to_work,
+        )
 
-    active = sq(sw.slot_active)
-    contrib_s = ((slots & 1) != 0) & active
-    susc_s = ((slots & 2) != 0) & active
-    hit_home_s = (slots & 4) != 0
-    at_work_s = (slots & 8) != 0
-    on_bus_s = (slots & 16) != 0
+        # 3. census post-advance (simulator.rs:178); pads are status 5
+        seirv0 = gsum(
+            jnp.stack(
+                [jnp.sum((status == s).astype(jnp.int32)) for s in range(5)]
+            )
+        )
 
-    n_w = run_totals(contrib_s, sq(sw.wb_start), sq(sw.wb_end))
-    room = run_totals(contrib_s, sq(sw.room_start), sq(sw.room_end))
-    # global per-building pressure = local run totals: every worker of a
-    # building occupies a slot on its owner shard, local or ghost.
-    draws = jnp.where(sq(sw.slot_is_school), room, (n_w > 0).astype(jnp.int32))
-    p_s = _exposure_p(
-        d.exposure_chance, d.mask_effectiveness, state.mask_status,
-        sq(sw.slot_mask_compliant), on_bus_s, cfg.reference_mask_semantics,
-    )
-    q_single = binomial_at_least_one(p_s, trunc(n_w))
-    gate = active & (at_work_s | sq(sw.slot_same_oa))
-    q_work = jnp.where(
-        gate, -jnp.expm1(draws.astype(jnp.float32) * jnp.log1p(-q_single)), 0.0
-    )
-    hit_s = susc_s & (
-        hash_uniform(seed_w, sq(sw.slot_ws_index).astype(jnp.uint32)) < q_work
-    )
-    from_work_s = hit_s & ~hit_home_s
+        # 4. home side: households never straddle shards, so the
+        #    shift-window sum is fully local
+        inf_active = (status == STATUS_INFECTED) & ~on_bus
+        wneq = sq(sw.work_neq_home)
+        contrib_home = inf_active & (~at_work | ~wneq)
+        pos, size = sq(sw.hh_pos), sq(sw.hh_size)
+        if 0 < K <= 24:
+            c8 = contrib_home.astype(jnp.int8)
+            acc = contrib_home.astype(jnp.int32)
+            for dd in range(1, K):
+                acc = acc + jnp.where(pos + dd < size, jnp.roll(c8, -dd), 0)
+                acc = acc + jnp.where(pos - dd >= 0, jnp.roll(c8, dd), 0)
+            n_h = acc
+        else:
+            hh_start = pos == 0
+            hh_end = pos == size - 1
+            n_h = run_totals(contrib_home, hh_start, hh_end)
 
-    # hits back: local participants via the inverse static sort; ghosts via
-    # the reverse all_to_all.  Ghost-slot hits MUST be zeroed before the
-    # unsort: non-participant local citizens absorb the ghost-slot ranks
-    # (the sort rank is a complete permutation) and would otherwise receive
-    # a ghost's hit.
-    hit_local_only = jnp.where(sq(sw.slot_local), hit_s, False)
-    hit_L = jnp.concatenate(
-        [hit_local_only.astype(jnp.int8), jnp.zeros((L - W,), jnp.int8)]
+        p_cit = _exposure_p(
+            d.exposure_chance, d.mask_effectiveness, state.mask_status,
+            sq(sw.mask_compliant), on_bus, cfg.reference_mask_semantics,
+        )
+        same_oa = sq(sw.same_oa)
+        q_home = jnp.where(
+            ~at_work | same_oa, binomial_at_least_one(p_cit, trunc(n_h)), 0.0
+        )
+        susceptible = status == STATUS_SUSCEPTIBLE
+        hit_home = susceptible & (hash_uniform(seed_h, gid_u32) < q_home)
+
+        contrib_work = inf_active & at_work & wneq
+        fwd6 = (
+            contrib_work.astype(jnp.int8)
+            | (susceptible.astype(jnp.int8) << 1)
+            | (hit_home.astype(jnp.int8) << 2)
+            | (on_bus.astype(jnp.int8) << 3)
+            | ((status == STATUS_INFECTED).astype(jnp.int8) << 4)
+            | (at_work.astype(jnp.int8) << 5)
+        )
+        work_pred = gsum(jnp.sum(contrib_work.astype(jnp.int32))) > 0
+        bus_pred = gsum(jnp.sum(
+            (on_bus & (status == STATUS_INFECTED)).astype(jnp.int32)
+        )) > 0
+        sched_lanes = dict(
+            at_work=at_work, on_bus=on_bus, bus_to_work=bus_to_work,
+            sched=jnp.zeros((0,), jnp.int8),
+        )
+
+    # 5-7. work side with ghost slots, gated: no infected worker anywhere
+    #    -> every q is 0, the zero branch is value-identical and skips the
+    #    sorts, run totals and the ghost all_to_alls.  6 packed bits per
+    #    participant (fwd6 layout above).
+    record_oa = cfg.record_exposures_per_oa
+    n_oa_out = sw.n_output_areas if record_oa else 0
+    from ..ops.sparse import compact_positions, scatter_bits
+
+    KS = cfg.sparse_transport_slots
+
+    def work_side(fwd):
+        lane_L = jnp.concatenate([fwd, jnp.zeros((L - S,), jnp.int8)])
+        slots = permute_by_sort(sq(sw.sort_rank), lane_L, bits=6)[:W]
+
+        # ghost bits out: gather my cross-shard workers' bits, exchange,
+        # and overwrite the (garbage) ghost slot positions at the owner
+        fwd_ext = _ext(fwd, 0)
+        send = jnp.take(fwd_ext, sq(sw.out_ghost_src).reshape(-1)).reshape(
+            n_dev, G
+        )
+        recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
+        slots = slots.at[sq(sw.recv_slot_pos).reshape(-1)].set(
+            recv.reshape(-1), mode="drop"
+        )
+
+        active = sq(sw.slot_active)
+        contrib_s = ((slots & 1) != 0) & active
+        susc_s = ((slots & 2) != 0) & active
+        hit_home_s = (slots & 4) != 0
+        on_bus_s = (slots & 8) != 0
+        at_work_s = (slots & 32) != 0
+
+        # global per-building pressure = local run totals: every worker of
+        # a building occupies a slot on its owner shard, local or ghost.
+        if use_pallas:
+            from ..ops.pallas_scans import run_totals_fused
+
+            n_w, room = run_totals_fused(
+                contrib_s.astype(jnp.int8),
+                [
+                    (sq(sw.wb_start), sq(sw.wb_end)),
+                    (sq(sw.room_start), sq(sw.room_end)),
+                ],
+                tile_rows=512,
+            )
+        else:
+            n_w = run_totals(contrib_s, sq(sw.wb_start), sq(sw.wb_end))
+            room = run_totals(contrib_s, sq(sw.room_start), sq(sw.room_end))
+        draws = jnp.where(
+            sq(sw.slot_is_school), room, (n_w > 0).astype(jnp.int32)
+        )
+        p_s = _exposure_p(
+            d.exposure_chance, d.mask_effectiveness, state.mask_status,
+            sq(sw.slot_mask_compliant), on_bus_s, cfg.reference_mask_semantics,
+        )
+        q_single = binomial_at_least_one(p_s, trunc(n_w))
+        gate = active & (at_work_s | sq(sw.slot_same_oa))
+        q_work = jnp.where(
+            gate,
+            -jnp.expm1(draws.astype(jnp.float32) * jnp.log1p(-q_single)),
+            0.0,
+        )
+        hit_s = susc_s & (
+            hash_uniform(seed_w, sq(sw.slot_ws_index).astype(jnp.uint32))
+            < q_work
+        )
+        from_work_s = hit_s & ~hit_home_s
+        if record_oa:
+            oa_work = _range_totals(
+                from_work_s, sq(sw.ws_oa_lo), sq(sw.ws_oa_hi)
+            )
+        else:
+            oa_work = jnp.zeros((0,), jnp.int32)
+
+        # hits back: local participants via the static unsort table —
+        # hits are few on almost every hour, so a K-bounded compaction +
+        # scatter replaces the second full-length permutation sort (dense
+        # fallback past KS keeps the lane bitwise-identical at any hit
+        # count).  Ghost-slot hits MUST be excluded: non-participant local
+        # citizens absorb the ghost-slot ranks (the sort rank is a complete
+        # permutation) and would otherwise receive a ghost's hit; ghosts
+        # get theirs via the reverse all_to_all.
+        hit_local_only = jnp.where(sq(sw.slot_local), hit_s, False)
+        unsort = sq(sw.unsort_rank)
+        pos_h, live, cnt = compact_positions(hit_local_only, KS)
+        cit_idx = jnp.take(unsort, jnp.minimum(pos_h, W - 1))
+        sp = scatter_bits(
+            S, jnp.minimum(cit_idx, S - 1), live & (cit_idx < S)
+        )
+
+        def dense(hlo):
+            hit_L = jnp.concatenate(
+                [hlo.astype(jnp.int8), jnp.zeros((L - W,), jnp.int8)]
+            )
+            return permute_by_sort(unsort, hit_L, bits=1)[:S].astype(bool)
+
+        hit_work0 = jax.lax.cond(
+            cnt > KS, dense, lambda _: sp, hit_local_only
+        )
+        hit_s_ext = _ext(hit_s.astype(jnp.int8), 0)
+        ghost_hits = jnp.take(
+            hit_s_ext, sq(sw.recv_slot_pos).reshape(-1)
+        ).reshape(n_dev, G)
+        back = jax.lax.all_to_all(ghost_hits, AXIS, split_axis=0, concat_axis=0)
+        hit_work = (
+            hit_work0.astype(jnp.int8)
+            .at[sq(sw.out_ghost_src).reshape(-1)]
+            .max(back.reshape(-1), mode="drop")
+        ) != 0
+        return hit_work, oa_work
+
+    hit_work, oa_work = jax.lax.cond(
+        work_pred,
+        work_side,
+        lambda _: (
+            jnp.zeros((S,), bool),
+            jnp.zeros((n_oa_out,), jnp.int32),
+        ),
+        fwd6,
     )
-    hit_work = permute_by_sort(sq(sw.unsort_rank), hit_L, bits=1)[:S].astype(bool)
-    hit_s_ext = _ext(hit_s.astype(jnp.int8), 0)
-    ghost_hits = jnp.take(
-        hit_s_ext, sq(sw.recv_slot_pos).reshape(-1)
-    ).reshape(n_dev, G)
-    back = jax.lax.all_to_all(ghost_hits, AXIS, split_axis=0, concat_axis=0)
-    hit_work = (
-        hit_work.astype(jnp.int8)
-        .at[sq(sw.out_ghost_src).reshape(-1)]
-        .max(back.reshape(-1), mode="drop")
-    ) != 0
 
     # 8. bus side: riders live on their home shard; the whole shuffle +
-    #    chunk + draw machinery is local (ops/segments.py::bus_hits)
+    #    chunk + draw machinery is local (ops/segments.py::bus_hits).
+    #    Gated: no infected rider anywhere -> n_bus = 0 -> q = 0, the zero
+    #    branch is value-identical.
     rl = sq(sw.rider_local)
-    on_ext = _ext(on_bus.astype(jnp.int8), 0)
-    inf_ext = _ext((status == STATUS_INFECTED).astype(jnp.int8), 0)
-    susc_ext = _ext(susceptible.astype(jnp.int8), 0)
 
     def p_fn(compliant, on_bus_lane):
         return _exposure_p(
@@ -227,16 +430,23 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
             compliant, on_bus_lane, cfg.reference_mask_semantics,
         )
 
-    hit_bus = bus_hits(
-        k_bus, k_b,
-        jnp.take(on_ext, rl) != 0,
-        jnp.take(inf_ext, rl) != 0,
-        jnp.take(susc_ext, rl) != 0,
-        sq(sw.rider_compliant),
-        sq(sw.rider_route), rl, cfg.bus_capacity, p_fn, S,
-    )[0]
+    def bus_side(fwd):
+        ext = _ext(fwd, 0)
+        pk = jnp.take(ext, rl)
+        return bus_hits(
+            k_bus, k_b,
+            (pk & 8) != 0, (pk & 16) != 0, (pk & 2) != 0,
+            sq(sw.rider_compliant),
+            sq(sw.rider_route), rl, cfg.bus_capacity, p_fn, S,
+        )[0]
 
-    # 9. combine + bookkeeping
+    hit_bus = jax.lax.cond(
+        bus_pred, bus_side, lambda _: jnp.zeros((S,), bool), fwd6
+    )
+
+    # 9. combine + bookkeeping (the fused kernel already applied hit_home;
+    #    the dense re-apply is idempotent, so both branches stay bitwise-
+    #    identical)
     newly_exposed = hit_home | hit_work | hit_bus
     status = jnp.where(newly_exposed, jnp.int8(STATUS_EXPOSED), status)
     timer = jnp.where(newly_exposed, 0, timer)
@@ -248,9 +458,8 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
 
     n_new = gsum(jnp.sum(newly_exposed.astype(jnp.int32)))
     n_bus_exp = gsum(jnp.sum(from_bus.astype(jnp.int32)))
-    if cfg.record_exposures_per_oa:
-        oa_home = range_totals(hit_home, sq(sw.oa_lo), sq(sw.oa_hi))
-        oa_work = range_totals(from_work_s, sq(sw.ws_oa_lo), sq(sw.ws_oa_hi))
+    if record_oa:
+        oa_home = _range_totals(hit_home, sq(sw.oa_lo), sq(sw.oa_hi))
         exposures_per_oa = gsum(oa_home + oa_work)
     else:
         exposures_per_oa = jnp.zeros((0,), jnp.int32)
@@ -298,21 +507,19 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
             gsum(jnp.sum(eligible.astype(jnp.int32))),
         )
 
-        def body(st):
-            lo, hi, _ = st
+        # Straight-line unroll (NOT lax.while_loop): lets XLA pipeline the
+        # 32 reduce+psum rounds instead of serialising them through the
+        # loop construct (ops/select.py::bisect_threshold rationale);
+        # bitwise-identical.
+        lo = jnp.uint32(0)
+        hi = jnp.uint32(0xFFFFFFFF)
+        for _ in range(32):
             mid = lo + (hi - lo) // jnp.uint32(2)
             cnt = gsum(jnp.sum((eligible & (scores <= mid)).astype(jnp.int32)))
             hit = cnt >= kk
-            return (
-                jnp.where(hit, lo, mid + jnp.uint32(1)),
-                jnp.where(hit, mid, hi),
-                st[2] + 1,
-            )
-
-        tau, _, _ = jax.lax.while_loop(
-            lambda st: st[2] < 32, body,
-            (jnp.uint32(0), jnp.uint32(0xFFFFFFFF), 0),
-        )
+            lo = jnp.where(hit, lo, mid + jnp.uint32(1))
+            hi = jnp.where(hit, mid, hi)
+        tau = lo
         below = eligible & (scores < tau)
         at = eligible & (scores == tau)
         allowed = kk - gsum(jnp.sum(below.astype(jnp.int32)))
@@ -341,13 +548,10 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
     new_state = SimState(
         status=status,
         timer=timer.astype(TIMER_DTYPE),
-        at_work=at_work,
-        on_bus=on_bus,
-        bus_to_work=bus_to_work,
+        **sched_lanes,
         eligible=eligible,
         at_work_ws=state.at_work_ws,
         on_bus_ws=state.on_bus_ws,
-        sched=state.sched,
         status_ws=state.status_ws,
         timer_ws=state.timer_ws,
         status_r=state.status_r,
@@ -425,11 +629,42 @@ def make_fast_sharded_runner(sw: ShardedWorld, cfg: SimConfig, mesh: Mesh):
         check_vma=False,
     )
     def chunk(sw_l, params, state_l):
+        _, use_fused = _use_fused(sw, cfg)
+        sq = lambda x: x.reshape(x.shape[1:])
+        statics = _shard_citizen_statics(sw_l, sq) if use_fused else None
+        empty_b = jnp.zeros((0,), jnp.bool_)
+        if use_fused:
+            # scan-internal packed carry: the three schedule bools ride the
+            # kernel's s8 sched lane (pack/unpack once per CHUNK)
+            sched = (
+                state_l.at_work.astype(jnp.int8)
+                | (state_l.on_bus.astype(jnp.int8) << 1)
+                | (state_l.bus_to_work.astype(jnp.int8) << 2)
+            )
+            state_l = dataclasses.replace(
+                state_l, sched=sched,
+                at_work=empty_b, on_bus=empty_b, bus_to_work=empty_b,
+            )
+
         def body(carry, _):
-            ns, out = fast_shard_step(sw_l, params, cfg, carry)
+            ns, out = fast_shard_step(
+                sw_l, params, cfg, carry, fused_statics=statics
+            )
             return ns, out
 
-        return jax.lax.scan(body, state_l, None, length=cfg.chunk_size)
+        state_l, outs = jax.lax.scan(
+            body, state_l, None, length=cfg.chunk_size
+        )
+        if use_fused:
+            s = state_l.sched
+            state_l = dataclasses.replace(
+                state_l,
+                at_work=(s & 1) != 0,
+                on_bus=(s & 2) != 0,
+                bus_to_work=(s & 4) != 0,
+                sched=jnp.zeros((0,), jnp.int8),
+            )
+        return state_l, outs
 
     return jax.jit(chunk)
 

@@ -1,0 +1,101 @@
+"""Sharded fast path on a 1-device mesh vs the single-device fast path.
+
+The one measurable single-chip proxy for multi-chip scaling (VERDICT r2
+next #2): the shard_map path must run the SAME engine as fastpath, so on a
+1-device mesh its ms/step should land within ~15% of the fastpath headline
+(3.8-3.9 ms/step at Y&H scale) — the residual being the ghost all_to_all
+no-ops, psum plumbing and the (S,) pad/slice at the kernel boundary.
+
+Usage: python tools/probe_fastmesh_1dev.py [--citizens 3457142] [--chunk 250]
+"""
+
+import dataclasses
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--citizens", type=int, default=3_457_142)
+    ap.add_argument("--oas", type=int, default=15_669)
+    ap.add_argument("--chunk", type=int, default=250)
+    ap.add_argument("--chunks", type=int, default=4)
+    ap.add_argument("--skip-single", action="store_true")
+    args = ap.parse_args()
+    from epidemicsimulator_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import numpy as np
+
+    from epidemicsimulator_tpu import Params, SimConfig, generate_synthetic_world
+
+    t0 = time.perf_counter()
+    _ = int(jax.numpy.arange(8).sum())
+    print(f"attach: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    world = generate_synthetic_world(
+        args.citizens, n_output_areas=args.oas, seed=0
+    )
+    params = Params.covid()
+    cfg = SimConfig(max_steps=10**9, chunk_size=args.chunk)
+
+    def timed(label, fn, state, *rest):
+        t0 = time.perf_counter()
+        state, out = fn(*rest, state)
+        jax.block_until_ready(jax.tree.leaves(out))
+        print(f"{label}: compile+first chunk {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        for _ in range(args.chunks):
+            state, out = fn(*rest, state)
+        jax.block_until_ready(jax.tree.leaves(out))
+        ms = (time.perf_counter() - t0) / (args.chunks * args.chunk) * 1e3
+        print(
+            f"{label}: {ms:.2f} ms/step "
+            f"({args.citizens / ms * 1e3 / 1e6:.0f}M c-s/s)",
+            flush=True,
+        )
+        return ms
+
+    # --- sharded path, 1-device mesh ---
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from epidemicsimulator_tpu.parallel.fastmesh import (
+        init_sharded_state, make_fast_sharded_runner,
+    )
+    from epidemicsimulator_tpu.parallel.mesh import make_mesh
+    from epidemicsimulator_tpu.parallel.partition import partition_world
+
+    mesh = make_mesh(1)
+    t0 = time.perf_counter()
+    sw = partition_world(world, 1)
+    print(f"partition: {time.perf_counter() - t0:.1f}s", flush=True)
+    st = init_sharded_state(world, sw, seed=0, starting_infected=100)
+    w_sh = jax.tree.map(
+        lambda x: jax.device_put(jax.numpy.asarray(x),
+                                 NamedSharding(mesh, P("pop")))
+        if hasattr(x, "shape") else x,
+        sw,
+    )
+    runner = make_fast_sharded_runner(sw, cfg, mesh)
+    p = params.as_arrays()
+    ms_sh = timed("sharded-1dev", lambda pp, s: runner(w_sh, pp, s), st, p)
+
+    if not args.skip_single:
+        from epidemicsimulator_tpu.engine.scan import make_chunk_runner
+        from epidemicsimulator_tpu.engine.state import init_state
+
+        wd = world.device_put()
+        st1 = init_state(world, seed=0, starting_infected=100)
+        fn1 = make_chunk_runner(wd, cfg)
+        ms_1 = timed("fastpath", fn1, st1, p)
+        print(f"ratio sharded/fastpath: {ms_sh / ms_1:.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

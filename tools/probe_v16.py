@@ -169,6 +169,39 @@ def main():
             "peak_h_range": [min(hours), max(hours)],
             "target": {"peak": 89170, "peak_h": 946},
         }))
+        # regenerate summary.json from the FULL accumulated seeds.jsonl so
+        # the committed envelope always reflects every committed seed
+        all_rows = [json.loads(l) for l in open(rows_path)]
+        rng = lambda k: [min(r[k] for r in all_rows),
+                         max(r[k] for r in all_rows)]
+        tgt = {"peak": 89170, "peak_h": 946, "attack_final_R": 101677,
+               "final_V": 95944, "end_h": 1426}
+        summary = {
+            "params": "Params.covid_v16() (exposure_chance=0.003, vax "
+                      "1700/step, thresholds .20/.30/.40/.60)",
+            "world": "census-like York (197,603 citizens, 637 OAs, mega "
+                     "sites on), world seed 42+s%4, sim seed s",
+            "n_seeds": len(all_rows),
+            "peak_range": rng("peak"),
+            "peak_h_range": rng("peak_h"),
+            "attack_range": rng("attack"),
+            "max_V_range": rng("max_V"),
+            "end_h_range": rng("steps"),
+            "target_v16_canonical": tgt,
+            "inside_envelope": {
+                "peak": rng("peak")[0] <= tgt["peak"] <= rng("peak")[1],
+                "peak_h": rng("peak_h")[0] <= tgt["peak_h"]
+                <= rng("peak_h")[1],
+                "attack": rng("attack")[0] <= tgt["attack_final_R"]
+                <= rng("attack")[1],
+                "max_V": rng("max_V")[0] <= tgt["final_V"]
+                <= rng("max_V")[1],
+                "end_h": rng("steps")[0] <= tgt["end_h"] <= rng("steps")[1],
+            },
+        }
+        with open(f"{outdir}/summary.json", "w") as f:
+            json.dump(summary, f, indent=1)
+        print(json.dumps(summary["inside_envelope"]))
 
 
 if __name__ == "__main__":

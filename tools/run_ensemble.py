@@ -131,7 +131,7 @@ def main():
               flush=True)
         # second full run hits the cached compiled runner: pure execution
         t0 = time.perf_counter()
-        seirv = run_ensemble(world, param_list, cfg, seed=0)
+        seirv = run_ensemble(world, param_list, cfg, seed=0, engine="vmap")
         dt = time.perf_counter() - t0
     agg = args.replicates * N_CITIZENS * args.steps / dt
     print(
