@@ -156,7 +156,16 @@ def load_or_build_world(args):
         classes=classes[keep], east=east[keep], north=north[keep],
         areas=areas[keep],
     )
-    world = build_world(census, osm, rings, starts, codes, seed=args.seed)
+    # per-phase wall clock, the reference's per-init-stage Timer prints
+    # (simulator_builder.rs:1168-1290); persisted next to the world cache
+    timings: dict = {}
+    world = build_world(
+        census, osm, rings, starts, codes, seed=args.seed, timings=timings
+    )
+    import json as _json
+
+    with open(cache + ".build_timings.json", "w") as f:
+        _json.dump(timings, f, indent=1)
     world.save_npz(cache)
     geometry = WorldGeometry(
         rings=rings, ring_starts=starts, codes=list(codes),

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import time
 
 import numpy as np
 
@@ -79,10 +80,26 @@ def build_world(
     *,
     seed: int = 0,
     mask_percentage: float = 0.8,
+    timings: dict | None = None,
 ) -> World:
+    """``timings``: optional dict filled with per-phase wall seconds — the
+    analog of the reference's per-init-stage Timer prints
+    (simulator_builder.rs:1168-1290); also logged at INFO."""
+    t_last = time.perf_counter()
+
+    def _mark(phase: str):
+        nonlocal t_last
+        now = time.perf_counter()
+        dt = now - t_last
+        t_last = now
+        if timings is not None:
+            timings[phase] = round(dt, 3)
+        log.info("builder phase %s: %.2fs", phase, dt)
+
     rng = np.random.default_rng(seed)
     census = census.filter_incomplete_output_areas()
     n_oa = census.n_output_areas
+    _mark("1_oa_setup")
 
     # ---- phase 2: building -> OA assignment --------------------------------
     poly_idx = assign_points_to_polygons(
@@ -100,6 +117,7 @@ def build_world(
     b_area = osm.areas[keep]
     b_e, b_n = osm.east[keep], osm.north[keep]
     log.info("assigned %d/%d buildings to OAs", keep.sum(), len(keep))
+    _mark("2_building_to_oa")
 
     households_mask = b_cls == CLASS_HOUSEHOLD
     workplace_mask = b_cls == CLASS_WORKPLACE
@@ -147,6 +165,7 @@ def build_world(
     n = len(age)
     n_households = hh_counter
     log.info("generated %d citizens in %d households", n, n_households)
+    _mark("3_citizens_households")
 
     mask_compliant = rng.random(n) < mask_percentage
     uses_transport = rng.random(n) < PUBLIC_TRANSPORT_PERCENTAGE
@@ -266,6 +285,7 @@ def build_world(
     else:
         n_rooms = 0
         class_teachers = np.zeros(0, np.int64)
+    _mark("4_schools")
 
     # ---- phases 5+6: workplace OA sampling + first-fit packing -------------
     school_citizen = np.zeros(n, bool)
@@ -298,6 +318,7 @@ def build_world(
         cdf = np.cumsum(weights)
         u = rng.random(len(sel)) * cdf[-1]
         w_oa[sel] = cw[lo + np.searchsorted(cdf, u, side="right")]
+    _mark("5_workplace_oa_sampling")
 
     # first-fit pack real OSM workplace buildings per (work OA, occupation);
     # overflow beyond physical capacity -> synthetic standard buildings
@@ -364,6 +385,7 @@ def build_world(
     work_oa[workers_sorted] = w_oa[wk_order]
     if overflow:
         log.info("%d workers placed in synthetic overflow workplaces", overflow)
+    _mark("6_workplace_packing")
 
     # ---- schools get building ids after workplaces --------------------------
     school_b_base = n_households + n_workplaces
@@ -387,8 +409,9 @@ def build_world(
 
     n_buildings = school_b_base + max(n_schools, 1)
     room = np.where(room < 0, n_rooms, room)
+    _mark("7_school_building_ids")
 
-    return make_world(
+    world = make_world(
         age=age,
         occupation=occupation,
         home_building=home_building,
@@ -403,6 +426,8 @@ def build_world(
         n_rooms=n_rooms,
         n_output_areas=n_oa,
     )
+    _mark("8_world_tables")
+    return world
 
 
 def _cumcount(sorted_ids: np.ndarray) -> np.ndarray:

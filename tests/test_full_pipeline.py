@@ -148,3 +148,44 @@ def test_cli_full_pipeline_simulate(data_dir):
         ]
     )
     assert rc == 0
+
+
+def test_cli_pipeline_generated_fixture(tmp_path):
+    """The York-scale fixture generator (tools/gen_fixture.py) drives the
+    same CLI data path at CI scale: real-encoding PBF (OSMHeader +
+    multi-blob), duplicate schools for the dedupe pass, distance-decayed
+    commuting flows.  tools/run_york_pipeline.py is this test at 637 OAs."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from gen_fixture import write_fixture
+
+    from epidemicsimulator_tpu.cli import main
+
+    n_oas, pop = 24, 200
+    pbf, shp, codes = write_fixture(
+        str(tmp_path), n_oas=n_oas, pop_per_oa=pop, seed=3
+    )
+    out = str(tmp_path / "results")
+    rc = main(
+        [
+            "fixturearea", "--directory", str(tmp_path), "--simulate",
+            "--pbf", pbf, "--shapefile", shp,
+            "--max-steps", "48", "--chunk-size", "24",
+            "--output-name", out, "--seed", "1",
+        ]
+    )
+    assert rc == 0
+    stats = json.load(open(out + os.sep + "global_stats.json"))
+    total = sum(stats[0][k] for k in ("susceptible", "exposed", "infected",
+                                      "recovered", "vaccinated"))
+    assert n_oas * pop <= total <= n_oas * (pop + 30)
+    # builder phase timings artifact written next to the world cache
+    tjson = json.load(
+        open(str(tmp_path / "world_fixturearea.npz") + ".build_timings.json")
+    )
+    assert set(tjson) == {
+        "1_oa_setup", "2_building_to_oa", "3_citizens_households",
+        "4_schools", "5_workplace_oa_sampling", "6_workplace_packing",
+        "7_school_building_ids", "8_world_tables",
+    }

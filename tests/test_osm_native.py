@@ -98,3 +98,43 @@ def test_assign_points_grid():
         np.array([-5.0, 20.0]), np.array([0.5, 0.5]), rings, starts
     )
     assert (out2 == -1).all()
+
+
+def test_parse_pbf_real_encoding_shape(tmp_path):
+    """Real planet extracts lead with an OSMHeader blob and split primitives
+    across many OSMData blobs (~8,000 entities per group, osmpbf's writer
+    constant); way node-refs routinely point at nodes from EARLIER blobs.
+    The reader must skip the header blob, keep its node store across blobs,
+    and resolve cross-blob refs (osm_data/src/lib.rs:524-673 semantics)."""
+    rng = np.random.default_rng(7)
+    nodes, ways = [], []
+    nid = 1
+    for i in range(500):
+        lat = 53.0 + rng.uniform(0, 0.05)
+        lon = -1.0 - rng.uniform(0, 0.05)
+        tags = {"building": "house"} if i % 7 == 0 else {}
+        nodes.append((nid, lat, lon, tags))
+        nid += 1
+    # ways referencing nodes spread across the whole id range (and hence,
+    # with max_entities=64, across different blobs than the way's own blob)
+    for w in range(40):
+        refs = [1 + (w * 97 + k * 13) % 500 for k in range(4)]
+        ways.append((10_000 + w, refs + [refs[0]], {"building": "office"}))
+    p = tmp_path / "multi.osm.pbf"
+    p.write_bytes(build_pbf(nodes, ways, max_entities=64, with_header=True))
+
+    classes, lats, lons, areas = parse_pbf(
+        str(p), bounds=(50.0, 56.0, -6.0, 2.0)
+    )
+    n_house_nodes = sum(1 for i in range(500) if i % 7 == 0)
+    assert len(classes) == n_house_nodes + 40
+    assert (classes[:n_house_nodes] == CLASS_HOUSEHOLD).all()
+    assert (classes[n_house_nodes:] == CLASS_WORKPLACE).all()
+    # single-blob (no header) parse of the same data agrees exactly
+    p2 = tmp_path / "single.osm.pbf"
+    p2.write_bytes(build_pbf(nodes, ways))
+    c2, la2, lo2, a2 = parse_pbf(str(p2), bounds=(50.0, 56.0, -6.0, 2.0))
+    assert (classes == c2).all()
+    np.testing.assert_allclose(lats, la2)
+    np.testing.assert_allclose(lons, lo2)
+    np.testing.assert_allclose(areas, a2)
