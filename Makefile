@@ -1,7 +1,10 @@
 # Convenience targets (tests force the CPU platform themselves)
-.PHONY: test bench dryrun native
+.PHONY: test bench dryrun native artifacts-check
 test:
 	python -m pytest tests/ -q
+
+artifacts-check:
+	python tools/artifacts_check.py
 
 bench:
 	python bench.py

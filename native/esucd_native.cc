@@ -460,106 +460,3 @@ void esucd_assign_points(const double* px, const double* py, int64_t n_points,
 }
 
 }  // extern "C"
-extern "C" {
-
-// Benes-network routing for an arbitrary static permutation.
-//
-// Network on n = 2^k elements: 2k-1 swap stages S_0..S_{2k-2} with XOR
-// distances d_j = 2^(k-1-j) for j < k and 2^(j-k+1) for j >= k.  Stage
-// semantics: y[i] = ctrl[j*n + i] ? x[i ^ d_j] : x[i] (pair members carry
-// the same bit).  Applying the stages in order yields out[o] = in[src[o]];
-// applying them in REVERSE order applies the inverse permutation (every
-// stage is an involution).
-//
-// `src` is the gather permutation (a bijection on [0, n)); `ctrl` receives
-// the control bits BIT-PACKED, 8 stages per byte: stage j's bit for
-// element i lives at bit (j % 8) of ctrl[(j / 8) * n + i].  The caller
-// must pass ceil((2k-1)/8) * n ZEROED bytes (packing directly avoids the
-// unpacked (2k-1, n) transient — ~3.4 GB at 2^26 vs ~430 MB packed).
-// Returns 0 on success, 1 if src is not a bijection.  Classic Waksman
-// looping algorithm, O(n) per level; the TPU-side replay is ops/benes.py
-// (replaces the hot loop's packed u32 permutation sorts, docs/PERF.md).
-
-static inline void esucd_ctrl_bit(uint8_t* p, int shift, uint8_t v) {
-  *p = uint8_t((*p & ~(uint8_t(1) << shift)) | (uint8_t(v) << shift));
-}
-
-int esucd_benes_route(const int32_t* src, int32_t k, uint8_t* ctrl) {
-  const int64_t n = int64_t(1) << k;
-  const int32_t n_stages = 2 * k - 1;
-  std::vector<int32_t> cur(src, src + n), nxt(n), dst(n);
-  std::vector<uint8_t> routed(n);
-  for (int64_t i = 0; i < n; i++) routed[i] = 0;
-  for (int64_t i = 0; i < n; i++) {
-    if (cur[i] < 0 || cur[i] >= n || routed[cur[i]]) return 1;
-    routed[cur[i]] = 1;
-  }
-  for (int32_t lvl = 0; lvl < k - 1; lvl++) {
-    const int64_t m = int64_t(1) << (k - lvl);  // block size at this level
-    const int64_t h = m >> 1;                   // stage XOR distance
-    uint8_t* first = ctrl + int64_t(lvl / 8) * n;
-    const int fbit = lvl % 8;
-    const int32_t lstage = n_stages - 1 - lvl;
-    uint8_t* last = ctrl + int64_t(lstage / 8) * n;
-    const int lbit = lstage % 8;
-    for (int64_t p = 0; p < n; p += m) {
-      const int32_t* s = cur.data() + p;   // out -> in, relative to block
-      int32_t* d = dst.data();             // in -> out scratch
-      for (int64_t o = 0; o < m; o++) d[s[o]] = int32_t(o);
-      uint8_t* r = routed.data() + p;      // per-OUTPUT routed flags
-      for (int64_t o = 0; o < m; o++) r[o] = 0;
-      int32_t* subU = nxt.data() + p;      // relative 0..h
-      int32_t* subL = nxt.data() + p + h;  // relative h..m
-      for (int64_t o0 = 0; o0 < m; o0++) {
-        if (r[o0]) continue;
-        int64_t o = o0;
-        bool viaU = true;
-        while (!r[o]) {
-          // route output o through U/L
-          r[o] = 1;
-          const int64_t po = o & (h - 1);
-          const uint8_t lv = viaU ? uint8_t(o >= h) : uint8_t(o < h);
-          esucd_ctrl_bit(&last[p + po], lbit, lv);
-          esucd_ctrl_bit(&last[p + po + h], lbit, lv);
-          const int64_t i = s[o];
-          const int64_t pi = i & (h - 1);
-          const uint8_t fv = viaU ? uint8_t(i >= h) : uint8_t(i < h);
-          esucd_ctrl_bit(&first[p + pi], fbit, fv);
-          esucd_ctrl_bit(&first[p + pi + h], fbit, fv);
-          (viaU ? subU : subL)[po] = int32_t(pi);
-          // the partner INPUT i^h must take the other subnetwork: route
-          // its output, then continue the walk at that output's pair
-          // partner (which flips back to viaU)
-          const int64_t o2 = d[i ^ h];
-          if (!r[o2]) {
-            r[o2] = 1;
-            const int64_t po2 = o2 & (h - 1);
-            const bool via2 = !viaU;
-            const uint8_t lv2 = via2 ? uint8_t(o2 >= h) : uint8_t(o2 < h);
-            esucd_ctrl_bit(&last[p + po2], lbit, lv2);
-            esucd_ctrl_bit(&last[p + po2 + h], lbit, lv2);
-            const int64_t i2 = s[o2];
-            const int64_t pi2 = i2 & (h - 1);
-            const uint8_t fv2 = via2 ? uint8_t(i2 >= h) : uint8_t(i2 < h);
-            esucd_ctrl_bit(&first[p + pi2], fbit, fv2);
-            esucd_ctrl_bit(&first[p + pi2 + h], fbit, fv2);
-            (via2 ? subU : subL)[po2] = int32_t(pi2);
-          }
-          o = o2 ^ h;  // output partner of o2: takes viaU again
-        }
-      }
-    }
-    cur.swap(nxt);
-  }
-  // base blocks of size 2: the middle stage (level k-1, distance 1)
-  uint8_t* mid = ctrl + int64_t((k - 1) / 8) * n;
-  const int mbit = (k - 1) % 8;
-  for (int64_t p = 0; p < n; p += 2) {
-    const uint8_t mv = uint8_t(cur[p] == 1);
-    esucd_ctrl_bit(&mid[p], mbit, mv);
-    esucd_ctrl_bit(&mid[p + 1], mbit, mv);
-  }
-  return 0;
-}
-
-}  // extern "C"
