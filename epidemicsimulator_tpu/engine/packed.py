@@ -57,7 +57,7 @@ from ..config import (
 )
 from ..ops.hashrng import hash_bits, hash_uniform
 from ..ops.maths import binomial_at_least_one, truncate_u8
-from ..ops.runsums import permute_by_sort, run_totals
+from ..ops.runsums import permute_by_sort, permute_by_sort_rows, run_totals
 from ..ops.segments import bus_hits
 from ..world.schema import World, make_world
 from .fastpath import (
@@ -252,8 +252,38 @@ def derive_step_rng(base_key, hours):
     return jax.vmap(one)(hours)
 
 
+def make_perm_rels(world, R, stride):
+    """Row-relative ranks of the replica-block-diagonal static permutations
+    (pack_replicas keeps citizen/work/rider orders replica-major, so wpos /
+    work_perm map block r onto block r, and replica r's riders occupy
+    rider slots [r*r_base, (r+1)*r_base)).  Enables row-blocked sorts
+    (ops/runsums.py::permute_by_sort_rows) in the work/bus stages — same
+    orders bitwise, sort work scales n*log(stride) instead of n*log(N).
+    Loop-invariant: chunk runners compute this once, outside the scan."""
+    R_riders = world.rider_perm.shape[0]
+    r_base = R_riders // max(R, 1)
+    base = (jnp.arange(R, dtype=jnp.uint32) * jnp.uint32(stride))[:, None]
+    wpos_rel = (
+        world.wpos.astype(jnp.uint32).reshape(R, stride) - base
+    ).reshape(-1)
+    wperm_rel = (
+        world.work_perm.astype(jnp.uint32).reshape(R, stride) - base
+    ).reshape(-1)
+    # rider-order local rank: riders keep their in-replica rider position,
+    # non-riders fill [r_base, stride) in lane order — sorting each row and
+    # slicing [:, :r_base] reproduces the global rider order exactly.
+    rpos2 = world.rpos.astype(jnp.int32).reshape(R, stride)
+    rider = rpos2 < R_riders
+    nr_rank = jnp.cumsum((~rider).astype(jnp.int32), axis=1) - 1
+    rb = (jnp.arange(R, dtype=jnp.int32) * jnp.int32(r_base))[:, None]
+    rpos_rel = jnp.where(
+        rider, rpos2 - rb, r_base + nr_rank
+    ).astype(jnp.uint32).reshape(-1)
+    return wpos_rel, wperm_rel, rpos_rel
+
+
 def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
-                fused_statics=None, rng=None):
+                fused_statics=None, rng=None, perm_rels=None):
     """One hour for all R replicas.  Reference semantics per replica
     (simulator.rs:131-152); th = InterventionThresholds (shared).
 
@@ -269,6 +299,9 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
     world = pe.world
     R, n, stride = pe.n_replicas, pe.rep_size, pe.rep_stride
     N = R * stride
+    if perm_rels is None:
+        perm_rels = make_perm_rels(world, R, stride)
+    wpos_rel, wperm_rel, rpos_rel = perm_rels
 
     hour = state.hour + 1
     if rng is None:
@@ -464,7 +497,7 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
     # infected worker at any workplace -> every q is 0, the zero branch is
     # value-identical and skips the two N-sized permutation sorts + scans.
     def work_side(fwd):
-        fwd_ws = permute_by_sort(world.wpos, fwd, bits=5)
+        fwd_ws = permute_by_sort_rows(wpos_rel, fwd, R, bits=5)
         contrib_w_ws = (fwd_ws & 1).astype(jnp.int32)
         susc_ws = (fwd_ws & 2) != 0
         hit_home_ws = (fwd_ws & 4) != 0
@@ -509,25 +542,29 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
         )
         u_w = hash_uniform(seed_w, jnp.arange(N, dtype=jnp.uint32))
         hit_work_ws = susc_ws & ~hit_home_ws & (u_w < q_work_ws)
-        # hits are few on almost every hour: ship them back to citizen
-        # order as a K-bounded compaction + scatter instead of a second
-        # N-sized permutation sort; dense fallback past K keeps the lane
-        # bitwise-identical at any hit count (fastpath.py work_side_rep's
-        # fan-out, one-directional)
+        # hits are few on most hours: ship them back to citizen order as a
+        # K-bounded compaction + scatter instead of a second N-sized
+        # permutation sort; dense (row-sorted) fallback past K keeps the
+        # lane bitwise-identical at any hit count.  BOTH strategies live
+        # inside the cond so mid-epidemic hours (ensembles: hits >> K on
+        # every work hour near the peaks) don't also pay the compaction +
+        # full-lane scatter (xplane: ~2 ms/step of dead work at R=64).
         from ..ops.sparse import compact_positions, scatter_bits
 
         KS = cfg.sparse_transport_slots
-        pos, live, cnt = compact_positions(hit_work_ws, KS)
-        cit_idx = jnp.take(world.work_perm, jnp.minimum(pos, N - 1))
-        sp_cit = scatter_bits(N, cit_idx, live)
-        return jax.lax.cond(
-            cnt > KS,
-            lambda lane: permute_by_sort(
-                world.work_perm, lane.astype(jnp.int8), bits=1
-            ).astype(bool),
-            lambda _: sp_cit,
-            hit_work_ws,
-        )
+        cnt = jnp.sum(hit_work_ws.astype(jnp.int32))
+
+        def sparse_ret(lane):
+            pos, live, _ = compact_positions(lane, KS)
+            cit_idx = jnp.take(world.work_perm, jnp.minimum(pos, N - 1))
+            return scatter_bits(N, cit_idx, live)
+
+        def dense_ret(lane):
+            return permute_by_sort_rows(
+                wperm_rel, lane.astype(jnp.int8), R, bits=1
+            ).astype(bool)
+
+        return jax.lax.cond(cnt > KS, dense_ret, sparse_ret, hit_work_ws)
 
     hit_work = jax.lax.cond(
         work_pred,
@@ -551,7 +588,17 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
     )
 
     def bus_side(gates):
-        pk = permute_by_sort(world.rpos, gates, bits=5)[:R_riders]
+        # row-blocked variant of permute_by_sort(world.rpos, gates)[:R_riders]
+        # — riders sort to the head of each replica row (make_perm_rels),
+        # so the per-row slice IS the global rider order, without sorting
+        # the non-rider 80% at global log(N) cost.
+        packed_keys = (rpos_rel << 5) | gates.astype(jnp.uint32)
+        out2d = jax.lax.sort(
+            packed_keys.reshape(R, stride), dimension=1, is_stable=False
+        )
+        pk = (
+            out2d[:, :r_base].reshape(-1) & jnp.uint32(31)
+        ).astype(jnp.int8)
         rb_on = (pk & 8) != 0
         rb_inf = (pk & 16) != 0
         rb_susc = (pk & 2) != 0
@@ -715,6 +762,9 @@ def make_packed_runner(pe: PackedEnsemble, cfg: SimConfig):
             statics = make_citizen_statics(pe_d.world)  # loop-invariant
         else:
             statics = None
+        rels = make_perm_rels(
+            pe_d.world, pe_d.n_replicas, pe_d.rep_stride
+        )  # loop-invariant
 
         # Per-step RNG material precomputed OUTSIDE the scan in one batched
         # threefry pass and fed through scan xs (see derive_step_rng: the
@@ -728,6 +778,7 @@ def make_packed_runner(pe: PackedEnsemble, cfg: SimConfig):
         def body(carry, x):
             ns, seirv = packed_step(
                 pe_d, th, cfg, carry, fused_statics=statics, rng=x,
+                perm_rels=rels,
             )
             return ns, seirv
 

@@ -68,3 +68,24 @@ def permute_by_sort(static_rank, payload_i8, bits=8):
     )
     out = jax.lax.sort(packed, is_stable=False)
     return (out & ((1 << bits) - 1)).astype(jnp.int8)
+
+
+def permute_by_sort_rows(static_rank_rel, payload_i8, n_rows, bits=8):
+    """Row-blocked :func:`permute_by_sort` for block-diagonal permutations.
+
+    When the global permutation maps each of ``n_rows`` equal contiguous
+    blocks onto itself (packed-replica ensembles: citizen/work/rider
+    orders are replica-major, engine/packed.py), ``static_rank_rel`` holds
+    the rank *within the block* and each row is sorted independently —
+    sort work scales n·log(block) instead of n·log(n), measured ~25-35%
+    cheaper at 13.6M lanes / 64 rows than the flat sort.  Output is
+    bitwise-identical to the flat sort on the global ranks (ranks are
+    unique per row, so per-row order is fully determined).
+    """
+    packed = (static_rank_rel.astype(jnp.uint32) << bits) | payload_i8.astype(
+        jnp.uint32
+    )
+    out = jax.lax.sort(
+        packed.reshape(n_rows, -1), dimension=1, is_stable=False
+    )
+    return (out.reshape(-1) & ((1 << bits) - 1)).astype(jnp.int8)
