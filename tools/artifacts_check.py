@@ -1,0 +1,161 @@
+"""Artifact-claim consistency check (VERDICT r2 next #8).
+
+Every headline number quoted in README.md / docs/PERF.md / docs/FIDELITY.md
+must match the committed artifact a reader would open to verify it
+(`sample_results/*/summary.json` etc.) within a stated tolerance.  Rounds 1
+and 2 both shipped a stale `ensemble64_summary.json` whose numbers diverged
+from the prose; this check fails the test suite when that happens again.
+
+Each check is (doc, regex-with-one-group, artifact, extractor, rel_tol).
+The regex anchors on surrounding prose so a reworded doc fails loudly
+(missing match) instead of silently skipping.
+
+Run directly (`python tools/artifacts_check.py`) or via
+tests/test_artifacts_check.py.  Exit code 1 on any mismatch.
+"""
+
+import json
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _load(rel):
+    with open(ROOT / rel) as f:
+        return json.load(f)
+
+
+def _doc(rel):
+    return (ROOT / rel).read_text()
+
+
+# (doc, pattern, artifact, key_fn, rel_tol).  key_fn maps the parsed
+# artifact JSON to the number the doc claims.
+CHECKS = [
+    # --- Y&H full-run artifact (sample_results/yh_full_run) ---------------
+    ("README.md",
+     r"job runs end-to-end \(world build \+ compile \+ simulate \+ "
+     r"artifacts\) in\s+\*\*([\d.]+)s\*\*",
+     "sample_results/yh_full_run/summary.json",
+     lambda a: a["total_s"], 0.0),
+    ("README.md",
+     r"in\s+\*\*[\d.]+s\*\* against its 4,378s \(32-core node\) — (\d+)×",
+     "sample_results/yh_full_run/summary.json",
+     lambda a: a["speedup"], 0.01),
+    # --- full-UK artifact (sample_results/full_uk) -------------------------
+    ("README.md",
+     r"runs on a single\s+chip\*\* at ([\d.]+) ms/step",
+     "sample_results/full_uk/summary.json",
+     lambda a: a["ms_per_step"], 0.01),
+    ("README.md",
+     r"([\d.]+) billion citizen-steps/s \([\d.]+ ms/step with the "
+     r"reference-shaped",
+     "sample_results/full_uk/summary.json",
+     lambda a: a["citizen_steps_per_sec"] / 1e9, 0.02),
+    ("docs/PERF.md",
+     r"\*\*([\d.]+) ms/step sampled selector",
+     "sample_results/full_uk/summary.json",
+     lambda a: a["ms_per_step"], 0.01),
+    # --- packed-ensemble artifact (sample_results/ensemble64_summary.json)
+    ("README.md",
+     r"64-replicate packed ensemble.{0,120}?([\d.]+) ms per ensemble-step",
+     "sample_results/ensemble64_summary.json",
+     lambda a: a["ms_per_ensemble_step"], 0.01),
+    ("README.md",
+     r"64-replicate packed ensemble.{0,200}?\*\*([\d,.]+)M "
+     r"citizen-steps/s aggregate\*\*",
+     "sample_results/ensemble64_summary.json",
+     lambda a: a["aggregate_citizen_steps_per_sec"] / 1e6, 0.01),
+    ("docs/PERF.md",
+     r"## Packed-replica ensembles:.*?artifact records\s+"
+     r"\*\*([\d.]+) ms/ensemble-step",
+     "sample_results/ensemble64_summary.json",
+     lambda a: a["ms_per_ensemble_step"], 0.01),
+    ("docs/PERF.md",
+     r"## Packed-replica ensembles:.*?artifact records\s+"
+     r"\*\*[\d.]+ ms/ensemble-step = ([\d,]+)M aggregate",
+     "sample_results/ensemble64_summary.json",
+     lambda a: a["aggregate_citizen_steps_per_sec"] / 1e6, 0.01),
+    # the committed ensemble artifact must use the default (packed) engine
+    # and clear single-run parity (VERDICT r1/r2: >= ~900M aggregate)
+    (None, None,
+     "sample_results/ensemble64_summary.json",
+     lambda a: 1.0 if (a["engine"] == "packed"
+                       and a["aggregate_citizen_steps_per_sec"] >= 900e6)
+     else 0.0, ("ensemble artifact is packed-engine and >=900M aggregate",
+                1.0)),
+    # --- v1.6 fidelity gate (sample_results/york_v16) ----------------------
+    ("docs/FIDELITY.md",
+     r"(\d+) runs \(\d+ world seeds x \d+ sim seeds each",
+     "sample_results/york_v16/summary.json",
+     lambda a: a["n_seeds"], 0.0),
+    (None, None,
+     "sample_results/york_v16/summary.json",
+     lambda a: 1.0 if all(a["inside_envelope"].values()) else 0.0,
+     ("v1.6 envelope closed (every gate quantity inside the seed band)",
+      1.0)),
+    ("docs/FIDELITY.md",
+     r"infected curve inside the seed band for[\s*]+([\d.]+)% of hours",
+     "sample_results/york_v16/curve_gate.json",
+     lambda a: round(100 * a["infected"]["coverage_pointwise"], 1), 0.005),
+    ("docs/FIDELITY.md",
+     r"nRMSE vs the seed median[\s*]+([\d.]+)",
+     "sample_results/york_v16/curve_gate.json",
+     lambda a: a["infected"]["nrmse"]["vs_median"], 0.005),
+]
+
+
+def run_checks(checks=CHECKS, verbose=True):
+    failures = []
+    for doc, pattern, artifact, key_fn, tol in checks:
+        try:
+            art = _load(artifact)
+        except FileNotFoundError:
+            failures.append(f"{artifact}: missing")
+            continue
+        want = key_fn(art)
+        if doc is None:
+            # invariant check on the artifact itself: key_fn returns 1.0
+            # when the invariant holds; tol carries (description, expected)
+            desc, expected = tol
+            ok = want == expected
+            if verbose:
+                print(f"{'ok ' if ok else 'FAIL'} {artifact}: {desc}")
+            if not ok:
+                failures.append(f"{artifact}: invariant failed: {desc}")
+            continue
+        text = _doc(doc)
+        m = re.search(pattern, text, re.S)
+        if not m:
+            failures.append(f"{doc}: claim not found: /{pattern[:60]}.../")
+            continue
+        got = float(m.group(1).replace(",", ""))
+        ok = (got == want) if tol == 0.0 else (
+            abs(got - want) <= tol * max(abs(want), 1e-9)
+        )
+        if verbose:
+            print(f"{'ok ' if ok else 'FAIL'} {doc}: quotes {got} vs "
+                  f"{artifact} {round(want, 4)} (tol {tol})")
+        if not ok:
+            failures.append(
+                f"{doc}: quotes {got}, artifact {artifact} says "
+                f"{round(want, 4)} (tol {tol})"
+            )
+    return failures
+
+
+def main():
+    failures = run_checks()
+    if failures:
+        print("\nARTIFACT/CLAIM MISMATCHES:")
+        for f in failures:
+            print(" -", f)
+        return 1
+    print("all artifact claims consistent")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
