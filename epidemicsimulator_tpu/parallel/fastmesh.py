@@ -610,8 +610,13 @@ def make_fast_sharded_runner(sw: ShardedWorld, cfg: SimConfig, mesh: Mesh):
     """jitted chunk(sw, params, state) over the partitioned world."""
     lane_fields = {
         "status", "timer", "at_work", "on_bus", "bus_to_work", "eligible",
-        "at_work_ws", "on_bus_ws", "sched",
     }
+    # The ws twins and the packed sched lane are always empty (0,) at
+    # chunk boundaries in the sharded formulation (init_sharded_state;
+    # chunk packs/unpacks sched internally), so they cross the boundary
+    # replicated — a P(AXIS) spec here would make the output state's
+    # empties arrive sharded and clash with the pinned jit in_shardings
+    # below on the next chunk.
     s_specs = SimState(
         **{
             f: P(AXIS) if f in lane_fields else P()
@@ -666,7 +671,25 @@ def make_fast_sharded_runner(sw: ShardedWorld, cfg: SimConfig, mesh: Mesh):
             )
         return state_l, outs
 
-    return jax.jit(chunk)
+    # Explicit in_shardings: same provenance fix as engine/scan.py's
+    # make_chunk_runner (docs/PERF.md "Root cause of the vax-regime
+    # stall") — without them jit specializes a second program for
+    # committed inputs that pins branch scalars to host memory, and every
+    # FIRED lax.cond (work hours, bus hours, vaccination) stalls ~55 ms
+    # on a host round-trip.  Measured on the real chip via
+    # tools/probe_fastmesh_1dev.py: 62.5 -> ~4 ms/step on a 1-device
+    # mesh.  The shardings mirror the shard_map in_specs: world lanes and
+    # state lanes split on AXIS, params and intervention scalars
+    # replicated.
+    shard = NamedSharding(mesh, P(AXIS))
+    rep = NamedSharding(mesh, P())
+    s_in = SimState(
+        **{
+            f: shard if f in lane_fields else rep
+            for f in SimState.__dataclass_fields__
+        }
+    )
+    return jax.jit(chunk, donate_argnums=(2,), in_shardings=(shard, rep, s_in))
 
 
 def _out_proto():
@@ -690,7 +713,6 @@ def run_fast_sharded(world, params, cfg: SimConfig, mesh: Mesh, *,
     )
     lane_fields = {
         "status", "timer", "at_work", "on_bus", "bus_to_work", "eligible",
-        "at_work_ws", "on_bus_ws",
     }
     state = jax.tree.map(jnp.asarray, state)
     state = dataclasses.replace(

@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--chunk", type=int, default=250)
     ap.add_argument("--chunks", type=int, default=4)
     ap.add_argument("--skip-single", action="store_true")
+    ap.add_argument("--profile", default=None,
+                    help="dump an xplane trace of one sharded chunk here")
     args = ap.parse_args()
     from epidemicsimulator_tpu.utils import enable_compilation_cache
 
@@ -85,6 +87,15 @@ def main():
     runner = make_fast_sharded_runner(sw, cfg, mesh)
     p = params.as_arrays()
     ms_sh = timed("sharded-1dev", lambda pp, s: runner(w_sh, pp, s), st, p)
+    if args.profile:
+        import glob
+
+        with jax.profiler.trace(args.profile):
+            st, out = runner(w_sh, p, st)
+            jax.block_until_ready(jax.tree.leaves(out))
+        print("traces:",
+              glob.glob(args.profile + "/**/*.xplane.pb", recursive=True),
+              flush=True)
 
     if not args.skip_single:
         from epidemicsimulator_tpu.engine.scan import make_chunk_runner
