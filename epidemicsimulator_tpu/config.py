@@ -352,6 +352,25 @@ class SimConfig:
     use_sparse_apply: bool | None = None
     #: Hits applied per scatter round of the sparse apply path.
     apply_sparse_slots: int = 8192
+    #: Sortless work branch (sparse-apply path only): replace the forward
+    #: N-sized u32 permutation sort — the dominant moving-hour cost at 63M
+    #: (docs/PERF.md xplane decomposition) — with K-bounded drains: the
+    #: infected work-contributor bits scatter into work order through the
+    #: static ``wpos`` lane, and the post-draw hit candidates (``u < q``,
+    #: already a tiny set) compact back through ``work_perm``.
+    #: Bitwise-identical to the sorted formulation (same pressure tables,
+    #: same counter-hash streams, same hit set); hours whose contributor
+    #: count exceeds ``sortless_slots * sortless_max_rounds`` fall back to
+    #: the sorted body inside the branch.  None = auto: on for populations
+    #: >= 16M when the sparse apply is active (the regime-adaptive
+    #: dispatcher's moving executable).
+    use_sortless_work: bool | None = None
+    #: Contributor/candidate positions drained per round of the sortless
+    #: work branch.
+    sortless_slots: int = 8192
+    #: Dense (sorted) fallback bound for the sortless work branch, in
+    #: units of ``sortless_slots`` rounds.
+    sortless_max_rounds: int = 16
     #: Rows per grid step of the fused citizen kernel ((rows, 128) tiles).
     #: 1024 measured best at 63M (9.4 -> 8.8 ms/step lean; 2048+ exceeds
     #: VMEM and fails Mosaic compile) and is neutral at Y&H (docs/PERF.md).

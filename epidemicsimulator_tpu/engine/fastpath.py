@@ -200,6 +200,18 @@ def wants_sparse_apply(world: World, cfg: SimConfig, state: SimState) -> bool:
     )
 
 
+def wants_sortless_work(world: World, cfg: SimConfig, state: SimState) -> bool:
+    """Whether the sparse-apply work branch runs the sortless formulation
+    (SimConfig.use_sortless_work).  Auto (None): on for populations >=
+    16M — i.e. the regime-adaptive dispatcher's moving executable at UK
+    scale, where the forward work-order permutation sort dominates every
+    moving hour (docs/PERF.md)."""
+    sl = cfg.use_sortless_work
+    if sl is None:
+        sl = world.n_citizens >= 16_000_000
+    return bool(sl) and wants_sparse_apply(world, cfg, state)
+
+
 def make_rider_statics(world: World):
     """Rider-order schedule lanes for the replicated bus path — one-time
     gathers, built outside the scan so they are loop-invariant."""
@@ -738,6 +750,137 @@ def fast_step(
             oa_work,
         )
 
+    def work_side_sortless(fwd):
+        # VERDICT-r2 #6 "sortless work branch".  Same pressure tables, hash
+        # streams and hit set as work_side_sparse — but the forward
+        # N-sized u32 permutation sort (the dominant 63M moving-hour cost,
+        # docs/PERF.md xplane decomposition) is replaced by two K-bounded
+        # drains: (a) the infected work-contributor bits scatter into work
+        # order through the static ``wpos`` lane, and (b) the post-draw
+        # candidates (``u < q`` — already the tiny post-RNG set) compact
+        # back, with the susceptible / hit-home bits gathered from the
+        # citizen-order gates lane at their ``work_perm`` images.  Bitwise-
+        # identical; contributor counts past sortless_slots *
+        # sortless_max_rounds fall back to the sorted body inside the cond.
+        from ..ops.sparse import compact_positions as _cp
+
+        K_SL = max(1, min(cfg.sortless_slots, n))
+        contrib_mask = (fwd & 1) != 0
+        tot_c = jnp.sum(contrib_mask.astype(jnp.int32))
+        n_oa_w = world.ws_oa_lo.shape[0] if record_oa else 0
+
+        def sortless(fwd):
+            def c_round(c):
+                done, lane = c
+                pos, live, _ = _cp(contrib_mask, K_SL, offset=done)
+                wsi = jnp.take(world.wpos, jnp.minimum(pos, n - 1))
+                lane = lane.at[jnp.where(live, wsi, n)].set(
+                    jnp.int8(1), mode="drop"
+                )
+                return done + jnp.sum(live.astype(jnp.int32)), lane
+
+            _, contrib_ws8 = jax.lax.while_loop(
+                lambda c: c[0] < tot_c,
+                c_round,
+                (jnp.int32(0), jnp.zeros((n,), jnp.int8)),
+            )
+            contrib_w_ws = contrib_ws8.astype(jnp.int32)
+
+            if use_pallas:
+                from ..ops.pallas_scans import run_totals_fused
+
+                n_w_ws, room_ws = run_totals_fused(
+                    contrib_ws8,
+                    [
+                        (world.ws_wb_start_mask, world.ws_wb_end_mask),
+                        (world.ws_room_start_mask, world.ws_room_end_mask),
+                    ],
+                    tile_rows=512,
+                )
+            else:
+                cs_ws = jnp.cumsum(contrib_w_ws)
+                from ..ops.runsums import run_totals_from_cumsum
+
+                n_w_ws = run_totals_from_cumsum(
+                    cs_ws, contrib_w_ws,
+                    world.ws_wb_start_mask, world.ws_wb_end_mask,
+                )
+                room_ws = run_totals_from_cumsum(
+                    cs_ws, contrib_w_ws,
+                    world.ws_room_start_mask, world.ws_room_end_mask,
+                )
+            draws_ws = jnp.where(
+                world.ws_is_school, room_ws, (n_w_ws > 0).astype(jnp.int32)
+            )
+            at_work_ws_l = (_sched_flat() & 8) != 0
+            on_bus_ws_l = (_sched_flat() & 16) != 0
+            p_ws = _exposure_p(
+                d.exposure_chance, d.mask_effectiveness, state.mask_status,
+                world.ws_mask_compliant, on_bus_ws_l,
+                cfg.reference_mask_semantics,
+            )
+            cur_oa_ws = jnp.where(
+                at_work_ws_l, world.ws_work_oa, world.ws_home_oa
+            )
+            q_single = binomial_at_least_one(p_ws, trunc(n_w_ws))
+            q_work_ws = jnp.where(
+                (cur_oa_ws == world.ws_work_oa) & world.ws_work_neq_home,
+                -jnp.expm1(
+                    draws_ws.astype(jnp.float32) * jnp.log1p(-q_single)
+                ),
+                0.0,
+            )
+            from ..ops.hashrng import hash_uniform
+
+            u_w = hash_uniform(seed_w, jnp.arange(n, dtype=jnp.uint32))
+            cand = u_w < q_work_ws
+            tot_cand = jnp.sum(cand.astype(jnp.int32))
+
+            def h_round(c):
+                done, lane, cw, nw, oa = c
+                pos, live, _ = _cp(cand, K_SL, offset=done)
+                posw = jnp.minimum(pos, n - 1)
+                cit = jnp.take(world.work_perm, posw)
+                fbits = jnp.take(fwd, cit)
+                hitk = ((fbits & 2) != 0) & live
+                fw = hitk & ((fbits & 4) == 0)
+                lane = lane.at[jnp.where(hitk, pos, n)].set(
+                    True, mode="drop"
+                )
+                cw = cw + jnp.sum(hitk.astype(jnp.int32))
+                nw = nw + jnp.sum(fw.astype(jnp.int32))
+                if record_oa:
+                    ids = jnp.take(world.ws_work_oa, posw, mode="clip")
+                    oa = oa.at[jnp.where(fw, ids, n_oa_w)].add(
+                        1, mode="drop"
+                    )
+                return (
+                    done + jnp.sum(live.astype(jnp.int32)),
+                    lane, cw, nw, oa,
+                )
+
+            _, hit_lane, cnt_w, n_from, oa_work = jax.lax.while_loop(
+                lambda c: c[0] < tot_cand,
+                h_round,
+                (
+                    jnp.int32(0),
+                    jnp.zeros((n,), bool),
+                    jnp.int32(0),
+                    jnp.int32(0),
+                    jnp.zeros((n_oa_w,), jnp.int32),
+                ),
+            )
+            if not record_oa:
+                oa_work = jnp.zeros((0,), jnp.int32)
+            return hit_lane, cnt_w, n_from, oa_work
+
+        return jax.lax.cond(
+            tot_c > K_SL * max(1, cfg.sortless_max_rounds),
+            work_side_sparse,
+            sortless,
+            fwd,
+        )
+
     work_pred = (
         work_pred_default
         if gate_overrides is None or gate_overrides[0] is None
@@ -759,7 +902,9 @@ def fast_step(
     elif sparse_apply:
         hit_ws_lane, cnt_w, n_work_new, oa_work = jax.lax.cond(
             work_pred,
-            work_side_sparse,
+            work_side_sortless
+            if wants_sortless_work(world, cfg, state)
+            else work_side_sparse,
             lambda fwd: (
                 jnp.zeros((n,), bool),
                 jnp.int32(0),
