@@ -366,10 +366,13 @@ class SimConfig:
     #: dispatcher's moving executable).
     use_sortless_work: bool | None = None
     #: Contributor/candidate positions drained per round of the sortless
-    #: work branch.
+    #: transports.  8192 measured best at 63M (32768 was neutral: the
+    #: 4x per-round hierarchy work cancels the saved while-loop scalar
+    #: round-trips — docs/PERF.md).
     sortless_slots: int = 8192
-    #: Dense (sorted) fallback bound for the sortless work branch, in
-    #: units of ``sortless_slots`` rounds.
+    #: Sorted-formulation routing bound for the sortless transports, in
+    #: units of ``sortless_slots`` (the drains stay exact at any count;
+    #: past this many rounds of work the sorts are simply cheaper).
     sortless_max_rounds: int = 16
     #: Rows per grid step of the fused citizen kernel ((rows, 128) tiles).
     #: 1024 measured best at 63M (9.4 -> 8.8 ms/step lean; 2048+ exceeds

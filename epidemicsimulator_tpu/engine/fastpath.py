@@ -755,131 +755,128 @@ def fast_step(
         # streams and hit set as work_side_sparse — but the forward
         # N-sized u32 permutation sort (the dominant 63M moving-hour cost,
         # docs/PERF.md xplane decomposition) is replaced by two K-bounded
-        # drains: (a) the infected work-contributor bits scatter into work
-        # order through the static ``wpos`` lane, and (b) the post-draw
-        # candidates (``u < q`` — already the tiny post-RNG set) compact
-        # back, with the susceptible / hit-home bits gathered from the
-        # citizen-order gates lane at their ``work_perm`` images.  Bitwise-
-        # identical; contributor counts past sortless_slots *
-        # sortless_max_rounds fall back to the sorted body inside the cond.
-        from ..ops.sparse import compact_positions as _cp
+        # scatter/compact drains: (a) the infected work-contributor bits
+        # scatter into work order through the static ``wpos`` lane, and
+        # (b) the post-draw candidates (``u < q`` — already the tiny
+        # post-RNG set) compact back, with the susceptible / hit-home bits
+        # gathered from the citizen-order gates lane at their
+        # ``work_perm`` images.  Bitwise-identical to work_side_sparse and
+        # exact at ANY count (the drains loop to the exact popcount); the
+        # caller's switch routes contributor-heavy peak hours to the
+        # sorted body instead because rounds eventually cost more than
+        # one sort.  No lax.cond lives inside — every nested N-operand
+        # cond costs a full-lane copy per step (docs/PERF.md).
+        from ..ops.sparse import block_hierarchy, compact_from_hierarchy
 
         K_SL = max(1, min(cfg.sortless_slots, n))
         contrib_mask = (fwd & 1) != 0
-        tot_c = jnp.sum(contrib_mask.astype(jnp.int32))
+        # one full-lane block pass, shared by every drain round (XLA does
+        # not hoist it out of the while body on its own — measured 466
+        # redundant passes/100 steps in the first-cut xplane trace).
+        # block/sb=128 halves the per-slot hierarchy work at this scale.
+        h_c = block_hierarchy(contrib_mask, block=128)
         n_oa_w = world.ws_oa_lo.shape[0] if record_oa else 0
 
-        def sortless(fwd):
-            def c_round(c):
-                done, lane = c
-                pos, live, _ = _cp(contrib_mask, K_SL, offset=done)
-                wsi = jnp.take(world.wpos, jnp.minimum(pos, n - 1))
-                lane = lane.at[jnp.where(live, wsi, n)].set(
-                    jnp.int8(1), mode="drop"
-                )
-                return done + jnp.sum(live.astype(jnp.int32)), lane
-
-            _, contrib_ws8 = jax.lax.while_loop(
-                lambda c: c[0] < tot_c,
-                c_round,
-                (jnp.int32(0), jnp.zeros((n,), jnp.int8)),
+        def c_round(c):
+            done, lane = c
+            pos, live, _ = compact_from_hierarchy(
+                h_c, K_SL, offset=done, n=n, sb=128
             )
-            contrib_w_ws = contrib_ws8.astype(jnp.int32)
-
-            if use_pallas:
-                from ..ops.pallas_scans import run_totals_fused
-
-                n_w_ws, room_ws = run_totals_fused(
-                    contrib_ws8,
-                    [
-                        (world.ws_wb_start_mask, world.ws_wb_end_mask),
-                        (world.ws_room_start_mask, world.ws_room_end_mask),
-                    ],
-                    tile_rows=512,
-                )
-            else:
-                cs_ws = jnp.cumsum(contrib_w_ws)
-                from ..ops.runsums import run_totals_from_cumsum
-
-                n_w_ws = run_totals_from_cumsum(
-                    cs_ws, contrib_w_ws,
-                    world.ws_wb_start_mask, world.ws_wb_end_mask,
-                )
-                room_ws = run_totals_from_cumsum(
-                    cs_ws, contrib_w_ws,
-                    world.ws_room_start_mask, world.ws_room_end_mask,
-                )
-            draws_ws = jnp.where(
-                world.ws_is_school, room_ws, (n_w_ws > 0).astype(jnp.int32)
+            wsi = jnp.take(world.wpos, jnp.minimum(pos, n - 1))
+            lane = lane.at[jnp.where(live, wsi, n)].set(
+                jnp.int8(1), mode="drop"
             )
-            at_work_ws_l = (_sched_flat() & 8) != 0
-            on_bus_ws_l = (_sched_flat() & 16) != 0
-            p_ws = _exposure_p(
-                d.exposure_chance, d.mask_effectiveness, state.mask_status,
-                world.ws_mask_compliant, on_bus_ws_l,
-                cfg.reference_mask_semantics,
-            )
-            cur_oa_ws = jnp.where(
-                at_work_ws_l, world.ws_work_oa, world.ws_home_oa
-            )
-            q_single = binomial_at_least_one(p_ws, trunc(n_w_ws))
-            q_work_ws = jnp.where(
-                (cur_oa_ws == world.ws_work_oa) & world.ws_work_neq_home,
-                -jnp.expm1(
-                    draws_ws.astype(jnp.float32) * jnp.log1p(-q_single)
-                ),
-                0.0,
-            )
-            from ..ops.hashrng import hash_uniform
+            return done + jnp.sum(live.astype(jnp.int32)), lane
 
-            u_w = hash_uniform(seed_w, jnp.arange(n, dtype=jnp.uint32))
-            cand = u_w < q_work_ws
-            tot_cand = jnp.sum(cand.astype(jnp.int32))
-
-            def h_round(c):
-                done, lane, cw, nw, oa = c
-                pos, live, _ = _cp(cand, K_SL, offset=done)
-                posw = jnp.minimum(pos, n - 1)
-                cit = jnp.take(world.work_perm, posw)
-                fbits = jnp.take(fwd, cit)
-                hitk = ((fbits & 2) != 0) & live
-                fw = hitk & ((fbits & 4) == 0)
-                lane = lane.at[jnp.where(hitk, pos, n)].set(
-                    True, mode="drop"
-                )
-                cw = cw + jnp.sum(hitk.astype(jnp.int32))
-                nw = nw + jnp.sum(fw.astype(jnp.int32))
-                if record_oa:
-                    ids = jnp.take(world.ws_work_oa, posw, mode="clip")
-                    oa = oa.at[jnp.where(fw, ids, n_oa_w)].add(
-                        1, mode="drop"
-                    )
-                return (
-                    done + jnp.sum(live.astype(jnp.int32)),
-                    lane, cw, nw, oa,
-                )
-
-            _, hit_lane, cnt_w, n_from, oa_work = jax.lax.while_loop(
-                lambda c: c[0] < tot_cand,
-                h_round,
-                (
-                    jnp.int32(0),
-                    jnp.zeros((n,), bool),
-                    jnp.int32(0),
-                    jnp.int32(0),
-                    jnp.zeros((n_oa_w,), jnp.int32),
-                ),
-            )
-            if not record_oa:
-                oa_work = jnp.zeros((0,), jnp.int32)
-            return hit_lane, cnt_w, n_from, oa_work
-
-        return jax.lax.cond(
-            tot_c > K_SL * max(1, cfg.sortless_max_rounds),
-            work_side_sparse,
-            sortless,
-            fwd,
+        _, contrib_ws8 = jax.lax.while_loop(
+            lambda c: c[0] < h_c[2],
+            c_round,
+            (jnp.int32(0), jnp.zeros((n,), jnp.int8)),
         )
+        contrib_w_ws = contrib_ws8.astype(jnp.int32)
+
+        if use_pallas:
+            from ..ops.pallas_scans import run_totals_fused
+
+            n_w_ws, room_ws = run_totals_fused(
+                contrib_ws8,
+                [
+                    (world.ws_wb_start_mask, world.ws_wb_end_mask),
+                    (world.ws_room_start_mask, world.ws_room_end_mask),
+                ],
+                tile_rows=512,
+            )
+        else:
+            cs_ws = jnp.cumsum(contrib_w_ws)
+            from ..ops.runsums import run_totals_from_cumsum
+
+            n_w_ws = run_totals_from_cumsum(
+                cs_ws, contrib_w_ws,
+                world.ws_wb_start_mask, world.ws_wb_end_mask,
+            )
+            room_ws = run_totals_from_cumsum(
+                cs_ws, contrib_w_ws,
+                world.ws_room_start_mask, world.ws_room_end_mask,
+            )
+        draws_ws = jnp.where(
+            world.ws_is_school, room_ws, (n_w_ws > 0).astype(jnp.int32)
+        )
+        at_work_ws_l = (_sched_flat() & 8) != 0
+        on_bus_ws_l = (_sched_flat() & 16) != 0
+        p_ws = _exposure_p(
+            d.exposure_chance, d.mask_effectiveness, state.mask_status,
+            world.ws_mask_compliant, on_bus_ws_l,
+            cfg.reference_mask_semantics,
+        )
+        cur_oa_ws = jnp.where(
+            at_work_ws_l, world.ws_work_oa, world.ws_home_oa
+        )
+        q_single = binomial_at_least_one(p_ws, trunc(n_w_ws))
+        q_work_ws = jnp.where(
+            (cur_oa_ws == world.ws_work_oa) & world.ws_work_neq_home,
+            -jnp.expm1(
+                draws_ws.astype(jnp.float32) * jnp.log1p(-q_single)
+            ),
+            0.0,
+        )
+        from ..ops.hashrng import hash_uniform
+
+        u_w = hash_uniform(seed_w, jnp.arange(n, dtype=jnp.uint32))
+        cand = u_w < q_work_ws
+        h_cand = block_hierarchy(cand, block=128)
+
+        def h_round(c):
+            done, lane, cw, nw, oa = c
+            pos, live, _ = compact_from_hierarchy(
+                h_cand, K_SL, offset=done, n=n, sb=128
+            )
+            posw = jnp.minimum(pos, n - 1)
+            cit = jnp.take(world.work_perm, posw)
+            fbits = jnp.take(fwd, cit)
+            hitk = ((fbits & 2) != 0) & live
+            fw = hitk & ((fbits & 4) == 0)
+            lane = lane.at[jnp.where(hitk, pos, n)].set(True, mode="drop")
+            cw = cw + jnp.sum(hitk.astype(jnp.int32))
+            nw = nw + jnp.sum(fw.astype(jnp.int32))
+            if record_oa:
+                ids = jnp.take(world.ws_work_oa, posw, mode="clip")
+                oa = oa.at[jnp.where(fw, ids, n_oa_w)].add(1, mode="drop")
+            return done + jnp.sum(live.astype(jnp.int32)), lane, cw, nw, oa
+
+        _, hit_lane, cnt_w, n_from, oa_work = jax.lax.while_loop(
+            lambda c: c[0] < h_cand[2],
+            h_round,
+            (
+                jnp.int32(0),
+                jnp.zeros((n,), bool),
+                jnp.int32(0),
+                jnp.int32(0),
+                jnp.zeros((n_oa_w,), jnp.int32),
+            ),
+        )
+        if not record_oa:
+            oa_work = jnp.zeros((0,), jnp.int32)
+        return hit_lane, cnt_w, n_from, oa_work
 
     work_pred = (
         work_pred_default
@@ -900,19 +897,45 @@ def fast_step(
             contrib_ws_bits,
         )
     elif sparse_apply:
-        hit_ws_lane, cnt_w, n_work_new, oa_work = jax.lax.cond(
-            work_pred,
-            work_side_sortless
-            if wants_sortless_work(world, cfg, state)
-            else work_side_sparse,
-            lambda fwd: (
+
+        def _work_zeros(fwd):
+            return (
                 jnp.zeros((n,), bool),
                 jnp.int32(0),
                 jnp.int32(0),
                 jnp.zeros((n_oa_out,), jnp.int32),
-            ),
-            fwd_packed,
-        )
+            )
+
+        if wants_sortless_work(world, cfg, state):
+            # One switch, predicates all from already-materialised scalars
+            # (partials[:, 5] is the exact contributor count in fused
+            # mode) — nested N-operand conds each cost a full-lane copy
+            # per step (docs/PERF.md), so the sorted-fallback decision
+            # must NOT live inside the branch.
+            if use_fused:
+                tot_c_free = jnp.sum(partials[:, 5])
+            else:
+                tot_c_free = jnp.sum(contrib_work.astype(jnp.int32))
+            bound_w = max(1, min(cfg.sortless_slots, n)) * max(
+                1, cfg.sortless_max_rounds
+            )
+            sel_w = jnp.where(
+                work_pred,
+                jnp.where(tot_c_free > bound_w, 1, 2),
+                0,
+            ).astype(jnp.int32)
+            hit_ws_lane, cnt_w, n_work_new, oa_work = jax.lax.switch(
+                sel_w,
+                [_work_zeros, work_side_sparse, work_side_sortless],
+                fwd_packed,
+            )
+        else:
+            hit_ws_lane, cnt_w, n_work_new, oa_work = jax.lax.cond(
+                work_pred,
+                work_side_sparse,
+                _work_zeros,
+                fwd_packed,
+            )
     else:
         hit_work, oa_work = jax.lax.cond(
             work_pred,
@@ -1027,17 +1050,126 @@ def fast_step(
             )
             return rider_lane, cit_ids, live, n_hits
 
-        bus_rider_hit_lane, bus_cit_ids, bus_live, n_bus_hits = jax.lax.cond(
-            bus_pred,
-            bus_branch_sparse,
-            lambda _: (
+        sortless_bus = (
+            wants_sortless_work(world, cfg, state)
+            and R > 0
+            and world.rpos is not None
+            and world.rpos.shape[0] == n
+        )
+
+        def _bus_zeros(packed):
+            return (
                 jnp.zeros((R,), bool),
                 jnp.zeros((k_bt,), jnp.int32),
                 jnp.zeros((k_bt,), bool),
                 jnp.int32(0),
-            ),
-            fwd_packed,
-        )
+            )
+
+        if sortless_bus:
+            ws_r_sl, we_r_sl = (
+                rider_statics if rider_statics is not None
+                else make_rider_statics(world)
+            )
+
+            def bus_branch_sl(packed):
+                # Sortless bus transport (same lever as the sortless work
+                # branch): on moving hours the rider-order inputs need no
+                # citizen->rider permutation sort — on_bus comes from the
+                # static rider schedule (== the replicated engine's arm_r,
+                # bitwise-tested), the few infected riders scatter through
+                # rpos (exact drain), and susceptibility gates the
+                # compacted post-draw candidates.  The caller's switch
+                # keeps frozen (lockdown) hours and infected-heavy peaks
+                # on the sorted branch; only the (astronomically rare)
+                # candidate-compaction overflow pays the inner fallback
+                # cond.
+                from ..ops.segments import bus_hits_sortless
+                from ..ops.sparse import (
+                    block_hierarchy, compact_from_hierarchy,
+                )
+
+                K_SL = max(1, min(cfg.sortless_slots, n))
+                inf_onbus = (packed & 24) == 24
+                h_ib = block_hierarchy(inf_onbus, block=128)
+
+                def i_round(c):
+                    done, lane = c
+                    pos, live, _ = compact_from_hierarchy(
+                        h_ib, K_SL, offset=done, n=n, sb=128
+                    )
+                    r_idx = jnp.take(
+                        world.rpos, jnp.minimum(pos, n - 1)
+                    )
+                    lane = lane.at[jnp.where(live, r_idx, R)].set(
+                        True, mode="drop"
+                    )
+                    return done + jnp.sum(live.astype(jnp.int32)), lane
+
+                _, rb_inf = jax.lax.while_loop(
+                    lambda c: c[0] < h_ib[2],
+                    i_round,
+                    (jnp.int32(0), jnp.zeros((R,), bool)),
+                )
+                arm_r = (h24 == ws_r_sl - 1) | (h24 == we_r_sl - 1)
+
+                def susc_of_rider(rider_ids):
+                    cit = jnp.take(
+                        world.rider_perm,
+                        jnp.minimum(rider_ids, max(R - 1, 0)),
+                        mode="clip",
+                    )
+                    return (jnp.take(packed, cit) & 2) != 0
+
+                rider_lane, _, live, n_hits, cit_ids, cand_total = (
+                    bus_hits_sortless(
+                        k_bus, k_b, arm_r, rb_inf,
+                        world.rider_mask_compliant,
+                        world.rider_route, world.rider_perm,
+                        cfg.bus_capacity, p_fn, susc_of_rider,
+                        max_hits=k_bt,
+                    )
+                )
+                return jax.lax.cond(
+                    cand_total <= k_bt,
+                    lambda _: (rider_lane, cit_ids, live, n_hits),
+                    bus_branch_sparse,
+                    packed,
+                )
+
+            # tot_ib (infected riders on a bus) is free from the kernel
+            # partials; the switch predicate costs no N-lane work.
+            if use_fused:
+                tot_ib = jnp.sum(partials[:, 6])
+            else:
+                tot_ib = jnp.sum(
+                    (on_bus & (status == STATUS_INFECTED)).astype(
+                        jnp.int32
+                    )
+                )
+            bound_b = max(1, min(cfg.sortless_slots, n)) * max(
+                1, cfg.sortless_max_rounds
+            )
+            sel_b = jnp.where(
+                bus_pred,
+                jnp.where(move & (tot_ib <= bound_b), 2, 1),
+                0,
+            ).astype(jnp.int32)
+            bus_rider_hit_lane, bus_cit_ids, bus_live, n_bus_hits = (
+                jax.lax.switch(
+                    sel_b,
+                    [_bus_zeros, bus_branch_sparse, bus_branch_sl],
+                    fwd_packed,
+                )
+            )
+        else:
+            bus_rider_hit_lane, bus_cit_ids, bus_live, n_bus_hits = (
+                jax.lax.cond(
+                    bus_pred,
+                    bus_branch_sparse,
+                    _bus_zeros,
+                    fwd_packed,
+                )
+            )
     else:
         hit_bus = jax.lax.cond(
             bus_pred, bus_branch, lambda _: jnp.zeros((n,), bool), fwd_packed

@@ -121,7 +121,11 @@ def make_chunk_runner(world: World, cfg: SimConfig):
                 if packed:
                     state = to_2d_carry(pack_sched(state))
             rider_statics = None
-            if wants_replicated(world, cfg, state):
+            from .fastpath import wants_sortless_work
+
+            if wants_replicated(world, cfg, state) or wants_sortless_work(
+                world, cfg, state
+            ):
                 rider_statics = make_rider_statics(world)
 
             gate_overrides = None

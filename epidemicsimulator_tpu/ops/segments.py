@@ -100,6 +100,102 @@ def bus_exposure_probability(p_exposure, n_inf_my_bus):
     )
 
 
+def bus_hits_sortless(
+    key_shuffle,
+    key_draw,
+    rb_on,
+    rb_inf,
+    rb_compliant,
+    rider_route,
+    rider_citizen_id,
+    capacity: int,
+    exposure_p_fn,
+    susc_of_rider,
+    max_hits: int = 16384,
+):
+    """:func:`bus_hits` with the rider-order *input* lanes built without
+    the N-sized citizen->rider permutation sort, and the susceptibility
+    filter deferred to the compacted hit candidates.
+
+    Callers supply ``rb_on`` computed from static rider schedule lanes
+    (valid on moving steps only — frozen lockdown hours must take the
+    sorted path), ``rb_inf`` as a K-bounded sparse scatter of the few
+    infected riders, and ``susc_of_rider(rider_ids) -> bool`` reading the
+    susceptible bit back in citizen order.  The hit set is then
+    bitwise-identical to :func:`bus_hits`: the shuffle sort's ORDER
+    depends only on (route, tiebreak) — the payload's missing
+    susceptible bit and the tail-region infected bits of non-riding
+    infected citizens never influence a key, a valid-region count, or a
+    draw; the post-draw candidate set (``u < q`` — already the tiny
+    post-RNG set) is compacted with the block hierarchy instead of a
+    second full sort, and susceptibility gates the compacted slots.
+
+    Returns ``(rider_lane, rider_ids, live, n_hits, cit_ids, cand_total)``
+    — the first five exactly as :func:`bus_hits`'s sparse outputs, valid
+    only while ``cand_total <= max_hits``; callers must branch to
+    :func:`bus_hits` past that (simulator.rs:360-401 peak hours).
+    """
+    from .runsums import run_totals
+    from .sparse import block_hierarchy, compact_from_hierarchy
+
+    r = rb_on.shape[0]
+    if r == 0:
+        return (
+            jnp.zeros((0,), bool),
+            jnp.zeros((0,), jnp.int32),
+            jnp.zeros((0,), bool),
+            jnp.int32(0),
+            jnp.zeros((0,), jnp.int32),
+            jnp.int32(0),
+        )
+    rk = jnp.where(rb_on, rider_route, _INT32_MAX)
+    tie = jax.random.bits(key_shuffle, (r,), dtype=jnp.uint32).astype(jnp.int32)
+    idx = jnp.arange(r, dtype=jnp.uint32)
+    payload = (
+        (idx << 3)
+        | (rb_inf.astype(jnp.uint32) << 2)
+        | rb_compliant.astype(jnp.uint32)
+    )
+    rk_s, _, pay_s = jax.lax.sort((rk, tie, payload), num_keys=2)
+
+    pos_i = jnp.arange(r, dtype=jnp.int32)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), rk_s[1:] != rk_s[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(boundary, pos_i, 0))
+    pos_in_route = pos_i - seg_start
+    bus_start = boundary | (pos_in_route % capacity == 0)
+    bus_end = jnp.concatenate([bus_start[1:], jnp.ones((1,), jnp.bool_)])
+
+    inf_s = ((pay_s >> 2) & 1).astype(jnp.int32)
+    n_bus = run_totals(inf_s, bus_start, bus_end)
+
+    valid = rk_s != _INT32_MAX
+    compliant_s = (pay_s & 1) != 0
+    p = exposure_p_fn(compliant_s, valid)
+    q = jnp.where(valid & (n_bus > 0), binomial_at_least_one(p, n_bus), 0.0)
+    cand = valid & (jax.random.uniform(key_draw, (r,)) < q)
+
+    k_top = min(max_hits, r)
+    pos, live_c, cand_total = compact_from_hierarchy(
+        block_hierarchy(cand, block=128), k_top, n=r, sb=128
+    )
+    rider_ids = jnp.asarray(
+        jnp.take(pay_s, jnp.minimum(pos, r - 1)) >> 3, jnp.int32
+    )
+    live = live_c & susc_of_rider(rider_ids)
+    cit_ids = jnp.take(
+        rider_citizen_id, jnp.minimum(rider_ids, r - 1), mode="clip"
+    )
+    n_hits = jnp.sum(live.astype(jnp.int32))
+    rider_lane = (
+        jnp.zeros((r,), bool)
+        .at[jnp.where(live, rider_ids, r)]
+        .set(True, mode="drop")
+    )
+    return rider_lane, rider_ids, live, n_hits, cit_ids, cand_total
+
+
 def bus_hits(
     key_shuffle,
     key_draw,

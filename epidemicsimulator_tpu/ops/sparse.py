@@ -56,6 +56,73 @@ def scatter_bits(n_out: int, dest_idx, live):
     )
 
 
+def block_hierarchy(mask, *, block: int = 1024):
+    """One-time per-lane prep for multi-round compaction: the reshaped
+    mask tiles and their per-block counts.
+
+    ``compact_positions`` recomputes this full-lane pass (pad + reshape +
+    reduce, ~1.7 ms at 63M) on EVERY call; XLA does not hoist it out of
+    drain while-loops even though the mask is loop-invariant.  Callers
+    that drain many rounds build the hierarchy once and pass it to
+    :func:`compact_from_hierarchy` — each round then costs only the
+    K-row gathers."""
+    n = mask.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    m = mask.astype(jnp.int8)
+    if pad:
+        m = jnp.concatenate([m, jnp.zeros((pad,), jnp.int8)])
+    m2 = m.reshape(nb, block)
+    bs = m2.astype(jnp.int32).sum(axis=1)
+    total = jnp.sum(bs)
+    return m2, bs, total
+
+
+def compact_from_hierarchy(h, k_slots: int, offset=0, *, n: int, sb=256):
+    """Round extraction off a prebuilt :func:`block_hierarchy` — identical
+    results to ``compact_positions(mask, k_slots, offset=offset)``.
+
+    Per-slot cost is ``sb + block`` elements of vectorized compare/cumsum
+    work; heavy extractions (the sortless work branch at UK scale) shrink
+    both (block=128, sb=128) to halve it — the choice never changes
+    results."""
+    m2, bs, total = h
+    nb, block = m2.shape
+    k_slots = min(k_slots, n)
+    tgt = jnp.asarray(offset, jnp.int32) + jnp.arange(
+        1, k_slots + 1, dtype=jnp.int32
+    )
+    SB = sb
+    nsb = -(-nb // SB)
+    bs_p = bs
+    if nsb * SB != nb:
+        bs_p = jnp.concatenate(
+            [bs, jnp.zeros((nsb * SB - nb,), jnp.int32)]
+        )
+    bs_sq = bs_p.reshape(nsb, SB)
+    sbp = jnp.cumsum(bs_sq.sum(axis=1))
+    sb_idx = jnp.minimum(
+        (sbp[None, :] < tgt[:, None]).sum(axis=1), nsb - 1
+    ).astype(jnp.int32)
+    prior_sb = jnp.where(sb_idx > 0, jnp.take(sbp, sb_idx - 1), 0)
+    sb_rows = jnp.take(bs_sq, sb_idx, axis=0)
+    local_bp = jnp.cumsum(sb_rows, axis=1)
+    resid_sb = tgt - prior_sb
+    lt = local_bp < resid_sb[:, None]
+    within_sb = jnp.sum(lt, axis=1).astype(jnp.int32)
+    prior_in_sb = jnp.max(jnp.where(lt, local_bp, 0), axis=1)
+    blk_safe = jnp.minimum(sb_idx * SB + within_sb, nb - 1)
+    resid = tgt - prior_sb - prior_in_sb
+
+    rows = jnp.take(m2, blk_safe, axis=0)
+    local = jnp.cumsum(rows.astype(jnp.int32), axis=1)
+    within = (local < resid[:, None]).sum(axis=1).astype(jnp.int32)
+
+    live = tgt <= total
+    pos = jnp.where(live, blk_safe * block + within, n).astype(jnp.int32)
+    return pos, live, total
+
+
 def compact_positions(mask, k_slots: int, *, block: int = 1024, offset=0):
     """Positions of the first ``k_slots`` set bits of ``mask`` — WITHOUT an
     N-sized cumsum.  ``offset`` (static or traced int32) skips that many
@@ -80,54 +147,12 @@ def compact_positions(mask, k_slots: int, *, block: int = 1024, offset=0):
     paths past that.  Bitwise-identical to ``mask_ranks`` +
     :func:`compact_from_ranks`.
     """
-    n = mask.shape[0]
-    k_slots = min(k_slots, n)  # tiny worlds (and vmapped tests) must not
-    # blow the (k_slots, block) intermediates past the data itself
-    nb = -(-n // block)
-    pad = nb * block - n
-    m = mask.astype(jnp.int8)
-    if pad:
-        m = jnp.concatenate([m, jnp.zeros((pad,), jnp.int8)])
-    m2 = m.reshape(nb, block)
-    bs = m2.astype(jnp.int32).sum(axis=1)
-    total = jnp.sum(bs)
-
-    tgt = jnp.asarray(offset, jnp.int32) + jnp.arange(
-        1, k_slots + 1, dtype=jnp.int32
-    )
     # Owning block per slot.  A searchsorted over the (nb,) prefix costs
     # 16 rounds x K serial gathers (~2.6 ms at 63M/K=8192, per-index
     # latency-bound even on a cache-sized table) — instead, two levels of
     # vectorized compare+reduce: superblocks of SB blocks, then a K-row
-    # gather of the owning superblock's counts.
-    SB = 256
-    nsb = -(-nb // SB)
-    bs_p = bs
-    if nsb * SB != nb:
-        bs_p = jnp.concatenate(
-            [bs, jnp.zeros((nsb * SB - nb,), jnp.int32)]
-        )
-    bs_sq = bs_p.reshape(nsb, SB)
-    sbp = jnp.cumsum(bs_sq.sum(axis=1))  # (nsb,) inclusive superblock prefix
-    sb_idx = jnp.minimum(
-        (sbp[None, :] < tgt[:, None]).sum(axis=1), nsb - 1
-    ).astype(jnp.int32)
-    prior_sb = jnp.where(sb_idx > 0, jnp.take(sbp, sb_idx - 1), 0)
-    resid_sb = tgt - prior_sb
-    sb_rows = jnp.take(bs_sq, sb_idx, axis=0)  # (K, SB)
-    local_bp = jnp.cumsum(sb_rows, axis=1)
-    lt = local_bp < resid_sb[:, None]
-    within_sb = jnp.sum(lt, axis=1).astype(jnp.int32)
-    prior_in_sb = jnp.max(jnp.where(lt, local_bp, 0), axis=1)
-    blk_safe = jnp.minimum(sb_idx * SB + within_sb, nb - 1)
-    resid = tgt - prior_sb - prior_in_sb  # 1-indexed rank in owning block
-
-    rows = jnp.take(m2, blk_safe, axis=0)  # (K, block) row gather
-    local = jnp.cumsum(rows.astype(jnp.int32), axis=1)
-    # index of first local >= resid == count of (local < resid): one
-    # vectorized compare+reduce instead of a batched searchsorted loop
-    within = (local < resid[:, None]).sum(axis=1).astype(jnp.int32)
-
-    live = tgt <= total
-    pos = jnp.where(live, blk_safe * block + within, n).astype(jnp.int32)
-    return pos, live, total
+    # gather of the owning superblock's counts (compact_from_hierarchy).
+    return compact_from_hierarchy(
+        block_hierarchy(mask, block=block), k_slots, offset,
+        n=mask.shape[0],
+    )

@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--oas", type=int, default=227_759)
     ap.add_argument("--chunk", type=int, default=100)
     ap.add_argument("--seed-frac", type=float, default=0.001)
-    ap.add_argument("--arm", choices=["sparse", "dense", "both"],
+    ap.add_argument("--arm", choices=["sparse", "sorted", "dense", "both"],
                     default="both")
     ap.add_argument("--out", default="/tmp/uk_moving")
     args = ap.parse_args()
@@ -70,13 +70,17 @@ def main():
     seed_inf = max(1, round(args.n * args.seed_frac))
     print(f"seeded {seed_inf} ({100 * args.seed_frac:.2f}%)", flush=True)
 
-    arms = ["sparse", "dense"] if args.arm == "both" else [args.arm]
+    # "sparse" = the sparse apply with the auto sortless work branch (the
+    # new default at >=16M); "sorted" = sparse apply, sortless forced off
+    # (the r2-era formulation); "dense" = the dense apply.
+    arms = ["sparse", "sorted", "dense"] if args.arm == "both" else [args.arm]
     trajs = {}
     for arm in arms:
         cfg = SimConfig(
             max_steps=10**9, chunk_size=args.chunk,
             record_exposures_per_oa=False,
-            use_sparse_apply=(arm == "sparse"),
+            use_sparse_apply=(arm != "dense"),
+            use_sortless_work=(None if arm == "sparse" else False),
         )
         state = init_state(world, seed=0, starting_infected=seed_inf)
         chunk_fn = make_chunk_runner(world, cfg)
@@ -109,9 +113,11 @@ def main():
               flush=True)
         trajs[arm] = np.concatenate([np.asarray(s) for s in seirvs])
 
-    if len(trajs) == 2:
-        same = bool((trajs["sparse"] == trajs["dense"]).all())
-        print(f"bitwise sparse==dense: {same}", flush=True)
+    ref_arm = arms[0]
+    for arm in arms[1:]:
+        same = bool((trajs[ref_arm] == trajs[arm]).all())
+        print(f"bitwise {ref_arm}=={arm}: {same}", flush=True)
+        assert same, f"{ref_arm} vs {arm} trajectories diverged"
     pbs = glob.glob(args.out + "/**/*.xplane.pb", recursive=True)
     print("traces:", pbs, flush=True)
 
