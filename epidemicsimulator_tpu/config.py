@@ -359,9 +359,12 @@ class SimConfig:
     #: static ``wpos`` lane, and the post-draw hit candidates (``u < q``,
     #: already a tiny set) compact back through ``work_perm``.
     #: Bitwise-identical to the sorted formulation (same pressure tables,
-    #: same counter-hash streams, same hit set); hours whose contributor
-    #: count exceeds ``sortless_slots * sortless_max_rounds`` fall back to
-    #: the sorted body inside the branch.  None = auto: on for populations
+    #: same counter-hash streams, same hit set).  Peak hours whose
+    #: contributor count exceeds ``sortless_slots * sortless_max_rounds``
+    #: are routed to the sorted branch by the caller's dispatch
+    #: ``lax.switch`` (fastpath §7/§8); only the bus side's rare
+    #: post-draw candidate overflow pays an inner fallback cond.
+    #: None = auto: on for populations
     #: >= 16M when the sparse apply is active (the regime-adaptive
     #: dispatcher's moving executable).
     use_sortless_work: bool | None = None
@@ -385,6 +388,11 @@ class SimConfig:
     #: and off below (the K-sized machinery loses to the small dense path
     #: at region scale — docs/PERF.md).  0 disables.
     oa_sparse_slots: int | None = None
+    #: Debug/test only: override the bus-hit slot bound (k_bt, normally
+    #: min(16384, n_riders)).  A tiny value forces the sortless bus
+    #: branch's post-draw candidate-overflow fallback cond — unreachable
+    #: below 16384 riders otherwise — so tests can pin its equivalence.
+    debug_bus_hit_slots: int | None = None
     #: Debug/probe only: (work, bus) lax.cond gate forcings for the fast
     #: path — None leaves a gate on its computed predicate, True/False pins
     #: it.  Forcing a gate False skips that exposure source (NOT

@@ -451,6 +451,21 @@ def fast_step(
     sparse_apply = wants_sparse_apply(world, cfg, state)
     KS = cfg.sparse_transport_slots
     R = world.rider_perm.shape[0]
+    # Build the rider-order schedule fallback ONCE here, at the top level
+    # of the step (never inside a traced lax.cond branch): direct
+    # fast_step callers that don't prebuild (scan.py does) would
+    # otherwise re-pay the two N-sized gathers on every sortless bus
+    # hour instead of letting XLA hoist them as loop-invariant operands.
+    if rider_statics is None and (
+        rep
+        or (
+            wants_sortless_work(world, cfg, state)
+            and R > 0
+            and world.rpos is not None
+            and world.rpos.shape[0] == n
+        )
+    ):
+        rider_statics = make_rider_statics(world)
     if rep:
         from ..ops.sparse import compact_positions, scatter_bits
 
@@ -460,10 +475,7 @@ def fast_step(
         status_r1, timer_r1 = _advance_disease(
             state.status_r, jnp.asarray(state.timer_r, jnp.int32), d
         )
-        ws_r, we_r = (
-            rider_statics if rider_statics is not None
-            else make_rider_statics(world)
-        )
+        ws_r, we_r = rider_statics
         # riders all use transport; only the on_bus bit matters for buses
         arm_r = (h24 == ws_r - 1) | (h24 == we_r - 1)
         on_bus_r1 = jnp.where(move, arm_r, state.on_bus_r)
@@ -912,10 +924,10 @@ def fast_step(
             # mode) — nested N-operand conds each cost a full-lane copy
             # per step (docs/PERF.md), so the sorted-fallback decision
             # must NOT live inside the branch.
-            if use_fused:
-                tot_c_free = jnp.sum(partials[:, 5])
-            else:
-                tot_c_free = jnp.sum(contrib_work.astype(jnp.int32))
+            # sparse_apply requires the fused kernel (wants_sparse_apply),
+            # so the partials lane is always available here.
+            assert use_fused
+            tot_c_free = jnp.sum(partials[:, 5])
             bound_w = max(1, min(cfg.sortless_slots, n)) * max(
                 1, cfg.sortless_max_rounds
             )
@@ -1033,7 +1045,11 @@ def fast_step(
             hit_bus,
         )
     elif sparse_apply:
-        k_bt = min(16384, R)
+        k_bt = (
+            min(16384, R)
+            if cfg.debug_bus_hit_slots is None
+            else max(1, min(cfg.debug_bus_hit_slots, R))
+        )
 
         def bus_branch_sparse(packed):
             rp = world.rider_perm
@@ -1046,7 +1062,7 @@ def fast_step(
                 (pk & 8) != 0, (pk & 16) != 0, (pk & 2) != 0,
                 world.rider_mask_compliant,
                 world.rider_route, rp, cfg.bus_capacity, p_fn, n,
-                want_cit_lane=False,
+                max_hits=k_bt, want_cit_lane=False,
             )
             return rider_lane, cit_ids, live, n_hits
 
@@ -1066,10 +1082,7 @@ def fast_step(
             )
 
         if sortless_bus:
-            ws_r_sl, we_r_sl = (
-                rider_statics if rider_statics is not None
-                else make_rider_statics(world)
-            )
+            ws_r_sl, we_r_sl = rider_statics
 
             def bus_branch_sl(packed):
                 # Sortless bus transport (same lever as the sortless work
@@ -1138,14 +1151,9 @@ def fast_step(
 
             # tot_ib (infected riders on a bus) is free from the kernel
             # partials; the switch predicate costs no N-lane work.
-            if use_fused:
-                tot_ib = jnp.sum(partials[:, 6])
-            else:
-                tot_ib = jnp.sum(
-                    (on_bus & (status == STATUS_INFECTED)).astype(
-                        jnp.int32
-                    )
-                )
+            # sortless_bus implies sparse_apply implies the fused kernel.
+            assert use_fused
+            tot_ib = jnp.sum(partials[:, 6])
             bound_b = max(1, min(cfg.sortless_slots, n)) * max(
                 1, cfg.sortless_max_rounds
             )

@@ -799,12 +799,29 @@ def make_packed_runner(pe: PackedEnsemble, cfg: SimConfig):
     return run_chunk
 
 
+def ensemble_done(seirv_row, early_exit: str = "sei"):
+    """Whether every replica's run is over, from one (R, 5) census row.
+
+    ``early_exit="sei"`` (default) is the faithful reference semantics:
+    ``disease_exists = S+E+I > 0`` (statistics.rs:289-291) — a run ends
+    only when vaccination + recovery have emptied all three pools, so a
+    dead epidemic keeps stepping while the vaccination campaign drains S.
+    ``early_exit="ei"`` stops as soon as no exposure can ever happen again
+    (E+I == 0) — a benchmarking shortcut that skips the epidemiologically
+    inert tail; documented as a divergence in docs/FIDELITY.md.
+    """
+    if early_exit == "sei":
+        return not bool((seirv_row[:, :3].sum(axis=1) > 0).any())
+    if early_exit == "ei":
+        return not bool((seirv_row[:, 1:3].sum(axis=1) > 0).any())
+    raise ValueError(f"early_exit must be 'sei' or 'ei', got {early_exit!r}")
+
+
 def run_packed_ensemble(base: World, param_list: list[Params],
                         cfg: SimConfig, *, seed: int = 0,
-                        block_rows: int = 128):
-    """Pack, run to cfg.max_steps (early exit when ALL replicas are done:
-    disease_exists = S+E+I > 0, statistics.rs:289-291 — the reference run
-    ends only when vaccination + recovery empty all three pools); returns
+                        block_rows: int = 128, early_exit: str = "sei"):
+    """Pack, run to cfg.max_steps (early exit per :func:`ensemble_done` —
+    default faithful S+E+I semantics, statistics.rs:289-291); returns
     (R, T, 5) SEIRV series.  Thresholds are swept per replica ((R,) rows —
     the intervention comparisons broadcast against the (R,) census)."""
     pe = pack_replicas(base, param_list, block_rows=block_rows)
@@ -823,7 +840,7 @@ def run_packed_ensemble(base: World, param_list: list[Params],
         seirv = np.asarray(seirv)  # (chunk, R, 5)
         chunks.append(seirv)
         steps += cfg.chunk_size
-        if not (seirv[-1, :, :3].sum(axis=1) > 0).any():
+        if ensemble_done(seirv[-1], early_exit):
             break
     out = np.concatenate(chunks, axis=0)[: cfg.max_steps]
     return np.transpose(out, (1, 0, 2))

@@ -276,3 +276,97 @@ def test_chunk_runner_matches_raw_steps():
     np.testing.assert_array_equal(
         np.asarray(st.at_work), np.asarray(st2.at_work)
     )
+
+
+def test_sortless_bus_overflow_signal_and_parity():
+    """The sortless bus transport's overflow contract (ADVICE r3): with a
+    small ``max_hits``, ``bus_hits_sortless`` must REPORT candidate
+    overflow via ``cand_total`` (so the fastpath fallback cond fires), and
+    with ``max_hits >= n_riders`` its sparse outputs must be bitwise those
+    of :func:`bus_hits` (same shuffle/draw keys, susceptibility deferred to
+    the compacted candidates)."""
+    from epidemicsimulator_tpu.ops.segments import bus_hits, bus_hits_sortless
+
+    r = 256
+    rng = np.random.default_rng(7)
+    rb_on = jnp.ones((r,), bool)
+    rb_inf = jnp.asarray(rng.random(r) < 0.5)
+    rb_susc = jnp.asarray(~np.asarray(rb_inf))
+    rb_compliant = jnp.asarray(rng.random(r) < 0.3)
+    rider_route = jnp.asarray(rng.integers(0, 5, r), jnp.int32)
+    rider_citizen_id = jnp.arange(r, dtype=jnp.int32)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+
+    def p_fn(compliant, valid):
+        # high per-contact chance -> nearly every rider on an infected bus
+        # is a post-draw candidate
+        return jnp.where(valid, jnp.where(compliant, 0.95, 0.99), 0.0)
+
+    def susc_of_rider(rider_ids):
+        return jnp.take(rb_susc, jnp.minimum(rider_ids, r - 1))
+
+    # 1. overflow signal: candidates exceed a tiny max_hits
+    *_, cand_total_small = bus_hits_sortless(
+        k1, k2, rb_on, rb_inf, rb_compliant, rider_route,
+        rider_citizen_id, 20, p_fn, susc_of_rider, max_hits=8,
+    )
+    assert int(cand_total_small) > 8
+
+    # 2. parity when the bound is not hit
+    lane_sl, ids_sl, live_sl, nh_sl, cit_sl, cand_total = bus_hits_sortless(
+        k1, k2, rb_on, rb_inf, rb_compliant, rider_route,
+        rider_citizen_id, 20, p_fn, susc_of_rider, max_hits=r,
+    )
+    assert int(cand_total) <= r
+    _, lane_s, ids_s, live_s, nh_s, cit_s = bus_hits(
+        k1, k2, rb_on, rb_inf, rb_susc, rb_compliant, rider_route,
+        rider_citizen_id, 20, p_fn, r, max_hits=r, want_cit_lane=False,
+    )
+    np.testing.assert_array_equal(np.asarray(lane_sl), np.asarray(lane_s))
+    assert int(nh_sl) == int(nh_s) > 0
+    live_ids_sl = sorted(np.asarray(ids_sl)[np.asarray(live_sl)].tolist())
+    live_ids_s = sorted(np.asarray(ids_s)[np.asarray(live_s)].tolist())
+    assert live_ids_sl == live_ids_s
+    live_cit_sl = sorted(np.asarray(cit_sl)[np.asarray(live_sl)].tolist())
+    live_cit_s = sorted(np.asarray(cit_s)[np.asarray(live_s)].tolist())
+    assert live_cit_sl == live_cit_s
+
+
+@pytest.mark.parametrize("faithful", [True, False])
+def test_sortless_bus_overflow_fallback_bitwise(faithful):
+    """Force the sortless bus branch's inner overflow cond (unreachable at
+    the default k_bt = min(16384, R) below 16384 riders) with the
+    debug_bus_hit_slots override and assert the full step trajectory stays
+    bitwise-identical to the sorted sparse formulation under the SAME
+    bound — the fallback must hand off to the sorted body exactly."""
+    world = generate_synthetic_world(8_000, n_output_areas=6, seed=11)
+    wd = world.device_put()
+    base = Params.covid()
+    params = Params(
+        dataclasses.replace(base.disease, exposure_chance=0.9),
+        base.thresholds,
+    ).as_arrays()
+    results = {}
+    for sortless in (False, True):
+        cfg = SimConfig(
+            use_fused_citizen=True, use_pallas_scans=False,
+            use_sparse_apply=True, apply_sparse_slots=4,
+            use_sortless_work=sortless, sortless_slots=64,
+            sortless_max_rounds=16,
+            bus_capacity=16, faithful_vaccine_bugs=faithful,
+            debug_bus_hit_slots=2,
+        )
+        st = init_state(wd, seed=2, starting_infected=50)
+        jstep = jax.jit(lambda w, p, s: step(w, p, cfg, s))
+        rows = []
+        for _ in range(48):
+            st, out = jstep(wd, params, st)
+            rows.append(np.asarray(out.seirv))
+        results[sortless] = (
+            rows, np.asarray(st.status), np.asarray(st.timer),
+            np.asarray(st.eligible),
+        )
+    for t, (a, b) in enumerate(zip(results[False][0], results[True][0])):
+        np.testing.assert_array_equal(a, b, err_msg=f"seirv step {t}")
+    for k in (1, 2, 3):
+        np.testing.assert_array_equal(results[False][k], results[True][k])

@@ -222,3 +222,56 @@ def test_packed_fused_kernel_bitwise_matches_xla():
     assert (seirv[:, 2, 1] == 0).all(), "chance-0 replica saw exposures"
     # replicas 0/1 must diverge from each other (different timer params)
     assert not np.array_equal(seirv[:, 0], seirv[:, 1])
+
+
+def test_ensemble_early_exit_semantics():
+    """One early-exit semantics across library and tool (VERDICT r3 #7):
+    ``ensemble_done`` implements both contracts — faithful 'sei'
+    (statistics.rs:289-291: run while S+E+I > 0, i.e. the vaccination
+    tail keeps stepping after the epidemic dies) and the opt-in 'ei'
+    benchmarking shortcut — and ``run_packed_ensemble`` routes through it
+    (default 'sei')."""
+    from epidemicsimulator_tpu.engine.packed import ensemble_done
+
+    # dead epidemic, susceptibles remain: sei keeps going, ei stops
+    row = np.array([[100, 0, 0, 5, 20], [0, 0, 0, 50, 10]], np.int64)
+    assert not ensemble_done(row, "sei")
+    assert ensemble_done(row, "ei")
+    # all three pools empty everywhere: both stop
+    row2 = np.array([[0, 0, 0, 105, 20], [0, 0, 0, 50, 10]], np.int64)
+    assert ensemble_done(row2, "sei")
+    assert ensemble_done(row2, "ei")
+    # one replica still infectious: neither stops
+    row3 = np.array([[0, 0, 3, 102, 20], [0, 0, 0, 50, 10]], np.int64)
+    assert not ensemble_done(row3, "sei")
+    assert not ensemble_done(row3, "ei")
+    with pytest.raises(ValueError):
+        ensemble_done(row, "bogus")
+
+    # end-to-end: with vaccination on and exposure_chance=0 the epidemic
+    # dies fast but S drains slowly -> 'ei' exits strictly earlier than
+    # 'sei' under the same chunking
+    world = _strip_transport(
+        generate_synthetic_world(600, n_output_areas=2, seed=3)
+    )
+    base = Params.covid()
+    p = Params(
+        dataclasses.replace(
+            base.disease, exposure_chance=0.0, exposed_time=4,
+            infected_time=8, vaccination_rate=5,
+        ),
+        dataclasses.replace(base.thresholds, vaccination=0.0),
+    )
+    cfg = SimConfig(
+        max_steps=400, chunk_size=25, use_pallas_scans=False,
+        use_fused_citizen=False, starting_infected=10,
+        max_vaccinations_per_step=64,
+    )
+    out_sei = run_packed_ensemble(world, [p, p], cfg, seed=0)
+    out_ei = run_packed_ensemble(world, [p, p], cfg, seed=0,
+                                 early_exit="ei")
+    assert out_ei.shape[1] < out_sei.shape[1]
+    # the overlap is the same trajectory
+    np.testing.assert_array_equal(
+        out_sei[:, : out_ei.shape[1]], out_ei
+    )

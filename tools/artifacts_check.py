@@ -86,6 +86,24 @@ CHECKS = [
                        and a["aggregate_citizen_steps_per_sec"] >= 900e6)
      else 0.0, ("ensemble artifact is packed-engine and >=900M aggregate",
                 1.0)),
+    # --- 63M moving-window sortless measurement (sample_results/uk_moving) -
+    ("docs/PERF.md",
+     r"the dispatcher's moving executable \| \*\*([\d.]+)\*\* \|",
+     "sample_results/uk_moving/summary.json",
+     lambda a: a["arms"]["sparse_sortless"]["ms_per_step"], 0.0),
+    ("docs/PERF.md",
+     r"`use_sortless_work=False`, the r2 formulation\) \| \| ([\d.]+) \|",
+     "sample_results/uk_moving/summary.json",
+     lambda a: a["arms"]["sparse_sorted"]["ms_per_step"], 0.0),
+    (None, None,
+     "sample_results/uk_moving/summary.json",
+     lambda a: 1.0 if (
+         a["bitwise_identical_trajectories"]
+         and a["arms"]["sparse_sortless"]["ms_per_step"]
+         < a["arms"]["sparse_sorted"]["ms_per_step"]
+     ) else 0.0,
+     ("sortless default beats sorted at 63M with bitwise trajectories",
+      1.0)),
     # --- v1.6 fidelity gate (sample_results/york_v16) ----------------------
     ("docs/FIDELITY.md",
      r"(\d+) runs \(\d+ world seeds x \d+ sim seeds each",
@@ -105,6 +123,95 @@ CHECKS = [
      "sample_results/york_v16/curve_gate.json",
      lambda a: a["infected"]["nrmse"]["vs_median"], 0.005),
 ]
+
+
+def check_bench_headline(verbose=True):
+    """README's front-page throughput headline must quote the newest
+    driver-measured BENCH_r*.json (VERDICT r3 weak #6: README said 911M
+    while BENCH_r03 measured 885M and no artifact recorded 911M)."""
+    failures = []
+    benches = sorted(ROOT.glob("BENCH_r*.json"))
+    if not benches:
+        return ["no BENCH_r*.json present"]
+    bench = json.loads(benches[-1].read_text())
+    parsed = bench.get("parsed") or {}
+    want_m = parsed.get("value", 0) / 1e6
+    want_x = parsed.get("vs_baseline", 0)
+    text = _doc("README.md")
+    m = re.search(
+        r"\*\*([\d,]+)M citizen-steps/s, ([\d.]+)× the reference", text
+    )
+    if not m:
+        return [f"README.md: bench headline pattern not found "
+                f"(expected '**<N>M citizen-steps/s, <X>× the reference' "
+                f"quoting {benches[-1].name})"]
+    got_m = float(m.group(1).replace(",", ""))
+    got_x = float(m.group(2))
+    ok = abs(got_m - want_m) <= 0.005 * want_m and abs(got_x - want_x) <= 0.5
+    if verbose:
+        print(f"{'ok ' if ok else 'FAIL'} README.md headline {got_m:.0f}M/"
+              f"{got_x}x vs {benches[-1].name} {want_m:.0f}M/{want_x}x")
+    if not ok:
+        failures.append(
+            f"README.md headline quotes {got_m:.0f}M/{got_x}x but "
+            f"{benches[-1].name} measured {want_m:.0f}M/{want_x}x"
+        )
+    return failures
+
+
+def check_perf_citations(verbose=True):
+    """Dangling-citation check (VERDICT r3 weak #1 class): every SimConfig
+    field whose `#:` doc comment cites docs/PERF.md must itself be named in
+    docs/PERF.md — a config knob claiming 'measured best (docs/PERF.md)'
+    with no PERF section is exactly the r3 sortless failure."""
+    failures = []
+    cfg_src = _doc("epidemicsimulator_tpu/config.py")
+    perf = _doc("docs/PERF.md")
+    for m in re.finditer(
+        r"((?:^[ \t]*#:.*\n)+)[ \t]*(\w+)\s*:", cfg_src, re.M
+    ):
+        comment, field = m.group(1), m.group(2)
+        if "PERF.md" not in comment:
+            continue
+        ok = field in perf
+        if verbose:
+            print(f"{'ok ' if ok else 'FAIL'} config.{field} cites PERF.md"
+                  f"{'' if ok else ' but PERF.md never names it'}")
+        if not ok:
+            failures.append(
+                f"config.py field '{field}' cites docs/PERF.md but PERF.md "
+                f"never names it (dangling measurement citation)"
+            )
+    return failures
+
+
+def check_test_count(verbose=True, timeout=180):
+    """README's quoted test count must match live pytest collection."""
+    import subprocess
+
+    text = _doc("README.md")
+    m = re.search(r"(\d+) tests incl", text)
+    if not m:
+        return ["README.md: test-count claim ('<N> tests incl') not found"]
+    claimed = int(m.group(1))
+    try:
+        out = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests", "--collect-only", "-q"],
+            capture_output=True, text=True, cwd=ROOT, timeout=timeout,
+        ).stdout
+    except subprocess.TimeoutExpired:
+        return []  # collection hung; don't fail the gate on infra
+    mm = re.search(r"(\d+) tests collected", out)
+    if not mm:
+        return [f"pytest collection failed: {out[-300:]}"]
+    actual = int(mm.group(1))
+    ok = claimed == actual
+    if verbose:
+        print(f"{'ok ' if ok else 'FAIL'} README test count {claimed} vs "
+              f"collected {actual}")
+    return [] if ok else [
+        f"README.md claims {claimed} tests; pytest collects {actual}"
+    ]
 
 
 def run_checks(checks=CHECKS, verbose=True):
@@ -148,6 +255,9 @@ def run_checks(checks=CHECKS, verbose=True):
 
 def main():
     failures = run_checks()
+    failures += check_bench_headline()
+    failures += check_perf_citations()
+    failures += check_test_count()
     if failures:
         print("\nARTIFACT/CLAIM MISMATCHES:")
         for f in failures:

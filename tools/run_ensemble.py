@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--replicates", type=int, default=64)
     ap.add_argument("--chunk", type=int, default=250)
     ap.add_argument("--out", default="sample_results")
+    ap.add_argument("--early-exit", choices=["sei", "ei"], default="sei",
+                    help="stop condition across replicas: 'sei' = faithful "
+                    "S+E+I>0 (statistics.rs:289-291, runs the vaccination "
+                    "tail), 'ei' = benchmarking shortcut E+I>0")
     ap.add_argument("--engine", choices=["vmap", "packed"], default="packed",
                     help="packed: R replicas as one world (engine/packed.py)"
                          " — ~3x the vmapped formulation's throughput")
@@ -107,14 +111,17 @@ def main():
         # donated buffers stalls this runtime; the per-chunk materialise
         # costs ~0.3 ms/step of D2H against a 12 ms step and keeps the
         # early-exit check exact.
+        from epidemicsimulator_tpu.engine.packed import ensemble_done
+
         chunks, steps = [], 0
         while steps < args.steps:
             st, out = runner(th, st)
             out = np.asarray(out)  # (chunk, R, 5)
             chunks.append(out)
             steps += args.chunk
-            # early exit when every replica's epidemic is over (E+I == 0)
-            if not (out[-1, :, 1:3].sum(axis=1) > 0).any():
+            # one semantics with the library (engine.packed.ensemble_done):
+            # faithful S+E+I by default, E+I only with --early-exit ei
+            if ensemble_done(out[-1], args.early_exit):
                 break
         dt = time.perf_counter() - t0
         steps_run = len(chunks) * args.chunk
@@ -155,6 +162,7 @@ def main():
     peaks = seirv[:, :, 2].max(axis=1)
     summary = {
         "engine": args.engine,
+        "early_exit": args.early_exit if args.engine == "packed" else "none",
         "n_citizens": N_CITIZENS,
         "replicates": args.replicates,
         "steps": steps_run,
