@@ -55,6 +55,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-steps", type=int, default=5000)
     p.add_argument("--chunk-size", type=int, default=250)
+    p.add_argument("--devices", type=int, default=None, metavar="N",
+                   help="run the population-sharded engine over an N-device "
+                   "mesh (0 = every visible device; default: single-device "
+                   "fast path) — the mesh analog of the reference CLI's "
+                   "parallel engine, run/src/main.rs:64-67")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="steps between device-state snapshots (0 = off)")
     p.add_argument("--pbf", default=None, help="OSM .pbf extract path")
@@ -187,6 +192,9 @@ def main(argv=None) -> int:
 
         enable_compilation_cache()
 
+    phases: dict = {}  # coarse wall-clock phases -> <output>/cli_phases.json
+    t_start = time.perf_counter()
+
     if args.download or args.resume is not None:
         from .data.census.nomis import (
             GEOGRAPHY_CODES,
@@ -208,6 +216,7 @@ def main(argv=None) -> int:
         return 0
 
     world, geometry = load_or_build_world(args)
+    phases["world_load_or_build_s"] = round(time.perf_counter() - t_start, 2)
 
     if args.render or args.visualise or args.visualise_buildings:
         if geometry is None:
@@ -282,13 +291,29 @@ def main(argv=None) -> int:
             if args.checkpoint_every
             else None
         )
+        t0 = time.perf_counter()
         sim = Simulator(
             world, params, cfg, seed=args.seed,
             checkpoint_path=ckpt,
             checkpoint_every_chunks=max(1, args.checkpoint_every // cfg.chunk_size)
             if args.checkpoint_every else 0,
+            devices=args.devices,
         )
+        phases["sim_init_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
         sim.simulate(out_dir + os.sep)
+        phases["simulate_s"] = round(time.perf_counter() - t0, 2)
+        phases["simulate_loop"] = {
+            k: round(v, 2) for k, v in getattr(sim, "last_timing", {}).items()
+        }
+        phases["total_s"] = round(time.perf_counter() - t_start, 2)
+        # dispatch/compile/sync split from the chunk loop (PERF.md rule:
+        # "interpret any end-to-end wall number with the per-phase
+        # breakdown in hand"; the first chunk's dispatch includes compile)
+        import json as _json
+
+        with open(os.path.join(out_dir, "cli_phases.json"), "w") as f:
+            _json.dump(phases, f, indent=1)
         logging.info("results dumped to %s", out_dir)
         return 0
 

@@ -32,12 +32,19 @@ class Simulator:
         profile_dir: str | None = None,
         checkpoint_path: str | None = None,
         checkpoint_every_chunks: int = 0,
+        devices: int | None = None,
     ):
         """``profile_dir``: capture a jax.profiler trace of one mid-run chunk
         (the TPU analog of the reference's criterion+cpuprofiler benches,
         run/benches/bench.rs).  ``checkpoint_path``: snapshot the device
         state every ``checkpoint_every_chunks`` chunks and resume from an
-        existing snapshot."""
+        existing snapshot.  ``devices``: run the population-sharded engine
+        over an N-device mesh (parallel/fastmesh.py) — 0 = every visible
+        device; None = the single-device fast path.  The reference's CLI
+        runs its parallel engine by default (run/src/main.rs:64-67 pins a
+        40-thread rayon pool); this is the mesh analog, with recorder /
+        checkpoint / artifact behaviour identical to the single-device
+        path."""
         import os
 
         if os.environ.get("ESUCD_NO_COMPILE_CACHE", "") != "1":
@@ -46,7 +53,7 @@ class Simulator:
             from ..utils import enable_compilation_cache
 
             enable_compilation_cache()
-        self.world = world.device_put()
+        self.devices = devices
         self.params = (params or Params.covid()).as_arrays()
         self.cfg = cfg or SimConfig()
         self.seed = seed
@@ -55,12 +62,30 @@ class Simulator:
         self.profile_dir = profile_dir
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every_chunks = checkpoint_every_chunks
-        self.state: SimState = init_state(
-            self.world,
-            seed=seed,
-            starting_infected=self.cfg.starting_infected,
-            fixed_priority_vax=_wants_fp_vax(self.world, self.cfg),
-        )
+        if devices is not None:
+            # Sharded setup: partition on host, shard lanes over the mesh.
+            from ..parallel.fastmesh import init_sharded_state
+            from ..parallel.mesh import make_mesh
+            from ..parallel.partition import partition_world
+
+            self.mesh = make_mesh(devices if devices > 0 else None)
+            n_dev = int(self.mesh.devices.size)
+            if verbose:
+                print(f"population-sharded engine over {n_dev} device(s)")
+            self.world = world  # host copy; shards are device_put below
+            self.sw = partition_world(world, n_dev)
+            self.state = init_sharded_state(
+                world, self.sw, seed=seed,
+                starting_infected=self.cfg.starting_infected,
+            )
+        else:
+            self.world = world.device_put()
+            self.state: SimState = init_state(
+                self.world,
+                seed=seed,
+                starting_infected=self.cfg.starting_infected,
+                fixed_priority_vax=_wants_fp_vax(self.world, self.cfg),
+            )
         if checkpoint_path is not None:
             import os
 
@@ -70,6 +95,58 @@ class Simulator:
                 self.state, _ = load_state(checkpoint_path)
                 if verbose:
                     print(f"resumed from {checkpoint_path} at hour {int(self.state.hour)}")
+
+    def _run_sharded(self, callback, timing: dict):
+        """Chunk loop over the population-sharded runner (same structure as
+        engine/scan.py::run: host-checked S+E+I early exit matching
+        statistics.rs:289-291, per-chunk callback for recorder/checkpoint/
+        progress).  Per-chunk materialisation is deliberate — async
+        dispatch over donated buffers hangs this runtime (docs/PERF.md)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.fastmesh import make_fast_sharded_runner
+        from ..parallel.mesh import AXIS
+
+        t0 = time.perf_counter()
+        shard = NamedSharding(self.mesh, P(AXIS))
+        w_sh = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), shard)
+            if hasattr(x, "shape") else x,
+            self.sw,
+        )
+        runner = make_fast_sharded_runner(self.sw, self.cfg, self.mesh)
+        timing["shard upload"] = time.perf_counter() - t0
+
+        state = self.state
+        chunks = []
+        steps = int(state.hour)
+        t_disp = 0.0
+        t_cb = 0.0
+        while steps < self.cfg.max_steps:
+            t0 = time.perf_counter()
+            state, out = runner(w_sh, self.params, state)
+            out = jax.tree.map(np.asarray, out)
+            t_disp += time.perf_counter() - t0
+            chunks.append(out)
+            steps += self.cfg.chunk_size
+            t0 = time.perf_counter()
+            callback(steps, out, state)
+            t_cb += time.perf_counter() - t0
+            seirv = out.seirv
+            if not (seirv[-1, 0] + seirv[-1, 1] + seirv[-1, 2] > 0):
+                break
+        timing["dispatch"] = t_disp
+        timing["callback"] = t_cb
+        outputs = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *chunks)
+        outputs = jax.tree.map(lambda x: x[: self.cfg.max_steps], outputs)
+        seirv = outputs.seirv
+        alive = seirv[:, 0] + seirv[:, 1] + seirv[:, 2] > 0
+        if not alive.all():
+            end = int(np.argmin(alive)) + 1
+            outputs = jax.tree.map(lambda x: x[:end], outputs)
+        return state, outputs
 
     def simulate(self, output_dir: str | None = None) -> np.ndarray:
         """Run to completion; optionally dump the four JSON artifacts.
@@ -139,13 +216,20 @@ class Simulator:
 
         self.recorder.start_chunk()
         timing: dict = {}
-        # Transfer/compute overlap hands the callback a state whose buffers
-        # the next dispatch already donated — checkpointing must read it.
-        overlap = not (self.checkpoint_path and self.checkpoint_every_chunks)
-        self.state, outputs = run(
-            self.world, self.params, self.cfg, self.state,
-            callback=callback, timing=timing, overlap=overlap,
-        )
+        self.last_timing = timing  # exposed for callers (cli_phases.json)
+        if self.devices is not None:
+            self.state, outputs = self._run_sharded(callback, timing)
+        else:
+            # Transfer/compute overlap hands the callback a state whose
+            # buffers the next dispatch already donated — checkpointing
+            # must read it.
+            overlap = not (
+                self.checkpoint_path and self.checkpoint_every_chunks
+            )
+            self.state, outputs = run(
+                self.world, self.params, self.cfg, self.state,
+                callback=callback, timing=timing, overlap=overlap,
+            )
         seirv = np.asarray(outputs.seirv)
         self.recorder.truncate(seirv.shape[0])
         if self.verbose:

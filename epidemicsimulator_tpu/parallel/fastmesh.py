@@ -651,14 +651,49 @@ def make_fast_sharded_runner(sw: ShardedWorld, cfg: SimConfig, mesh: Mesh):
                 at_work=empty_b, on_bus=empty_b, bus_to_work=empty_b,
             )
 
+        # Same two scan-plumbing fixes as engine/scan.py::make_chunk_runner
+        # (docs/PERF.md "sharded 1-dev decomposition"): (1) the PRNG key is
+        # loop-invariant (every step folds the hour in afresh) — carrying
+        # it costs paired u32[2] memory-space copies each iteration, so
+        # close over it; (2) one (10,) stacked output vector instead of
+        # six tiny per-step leaves, each of which pays its own
+        # per-iteration store/copy.
+        base_key = state_l.rng_key
+        state_l = dataclasses.replace(state_l, rng_key=None)
+
         def body(carry, _):
             ns, out = fast_shard_step(
-                sw_l, params, cfg, carry, fused_statics=statics
+                sw_l, params, cfg,
+                dataclasses.replace(carry, rng_key=base_key),
+                fused_statics=statics,
             )
-            return ns, out
+            small = jnp.concatenate([
+                out.seirv.astype(jnp.int32),
+                jnp.stack([
+                    out.n_bus_exposures.astype(jnp.int32),
+                    out.n_exposures.astype(jnp.int32),
+                    out.lockdown.astype(jnp.int32),
+                    out.mask_status.astype(jnp.int32),
+                    out.n_vaccinated_now.astype(jnp.int32),
+                ]),
+            ])
+            return (
+                dataclasses.replace(ns, rng_key=None),
+                (small, out.exposures_per_oa),
+            )
 
-        state_l, outs = jax.lax.scan(
+        state_l, (small_t, oa_t) = jax.lax.scan(
             body, state_l, None, length=cfg.chunk_size
+        )
+        state_l = dataclasses.replace(state_l, rng_key=base_key)
+        outs = StepOutput(
+            seirv=small_t[:, :5],
+            exposures_per_oa=oa_t,
+            n_bus_exposures=small_t[:, 5],
+            n_exposures=small_t[:, 6],
+            lockdown=small_t[:, 7].astype(jnp.bool_),
+            mask_status=small_t[:, 8].astype(jnp.int8),
+            n_vaccinated_now=small_t[:, 9],
         )
         if use_fused:
             s = state_l.sched

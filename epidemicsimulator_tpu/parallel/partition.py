@@ -95,8 +95,13 @@ class ShardedWorld:
     global_id: Any = None
 
 
-def partition_world(world: World, n_dev: int) -> ShardedWorld:
-    """Split a canonical world into household-aligned shards + ghost tables."""
+def partition_world(world: World, n_dev: int,
+                    stats: dict | None = None) -> ShardedWorld:
+    """Split a canonical world into household-aligned shards + ghost tables.
+
+    ``stats``: optional dict filled with partition diagnostics (shard
+    balance, cross-shard worker counts, max pair ghost count G) for the
+    comm-volume model in docs/PERF.md."""
     n = world.n_citizens
     hb = np.asarray(world.home_building, np.int64)
     assert (np.diff(hb) >= 0).all(), "citizens must be home-building sorted"
@@ -280,6 +285,22 @@ def partition_world(world: World, n_dev: int) -> ShardedWorld:
         oa_hi[d] = hi
         oa_lo[d] = hi - cnt
 
+    if stats is not None:
+        stats.update(
+            n_citizens=int(n),
+            n_dev=int(n_dev),
+            shard_sizes=sizes.tolist(),
+            shard_size_padded=int(S),
+            imbalance_pct=round(
+                100.0 * (S - sizes.min()) / max(1, S), 3
+            ),
+            n_workers=int(len(part)),
+            cross_shard_workers=int(len(gh)),
+            cross_shard_pct=round(100.0 * len(gh) / max(1, len(part)), 2),
+            ghost_G_max_pair=int(G),
+            n_slots=int(W),
+            a2a_bytes_per_step_per_dev=int(2 * n_dev * G),
+        )
     i32 = lambda x: np.asarray(x, np.int32)
     return ShardedWorld(
         work_start=cit_lane(world.work_start, 9, np.int8),

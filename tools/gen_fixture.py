@@ -65,9 +65,28 @@ def write_fixture(
     oas_per_school=9,
     lat0=53.90,
     lon0=-1.15,
+    mean_occupancy_ratio=2.35,
+    hub_fraction=0.20,
+    self_fraction=0.25,
+    n_hubs=10,
+    commute_decay=3.0,
 ):
     """Write census CSVs + PBF + shapefile into ``dirpath``; returns
-    (pbf_path, shp_path, oa_codes)."""
+    (pbf_path, shp_path, oa_codes).
+
+    Commuting structure mirrors what docs/FIDELITY.md established as
+    necessary for the v1.6 trigger anatomy (and what
+    `world/census_like.py` encodes): ``self_fraction`` of each OA's
+    flows stay home, ``hub_fraction`` go to ``n_hubs`` central hub OAs
+    with Zipf attractiveness (the mega-employer structure — York's
+    university ~20k / hospital ~9k), and the rest decay with grid
+    distance at Laplace scale ``commute_decay``.  Each hub OA carries
+    one giant commercial building sized so the hub commuters fit in
+    real floorspace (simulator_builder.rs:717-860 first-fit packing
+    then turns them into a handful of large mixing groups).
+    ``mean_occupancy_ratio`` sets houses per OA so the reference's
+    pop/buildings+1 rule (output_area.rs:139) yields size-3 households
+    as in the 2011 census."""
     from pbf_writer import build_pbf
 
     from epidemicsimulator_tpu.data.census.tables import (
@@ -99,7 +118,16 @@ def write_fixture(
         nid += 1
         return nid - 1
 
-    houses_per_oa = max(2, pop_per_oa // 4)
+    # hub OAs: the most central grid cells, Zipf attractiveness (one
+    # dominant site, census_like.py:250-259 analog)
+    center = np.array([gx / 2.0, gy / 2.0])
+    cdist = np.abs(cx - center[0]) + np.abs(cy - center[1])
+    hub_ids = np.argsort(cdist, kind="stable")[:n_hubs]
+    hub_w = 1.0 / np.arange(1, n_hubs + 1)
+    hub_w = hub_w / hub_w.sum()
+
+    houses_per_oa = max(2, int(pop_per_oa / mean_occupancy_ratio))
+    hub_workers_total = int(n_oas * pop_per_oa * 0.55 * hub_fraction)
     for oa in range(n_oas):
         la0, lo0 = lo_lat[oa], lo_lon[oa]
         for la, lo in zip(
@@ -128,6 +156,28 @@ def write_fixture(
                 )
         if oa % 200 == 100:
             add_node(la0 + dlat / 3, lo0 + dlon / 3, {"amenity": "hospital"})
+
+    # mega employers: one giant commercial footprint per hub OA, Zipf-sized
+    # so the hub commuters fit in REAL floorspace (first-fit packing then
+    # produces a handful of large mixing groups instead of synthetic
+    # overflow shards — the deceleration structure of FIDELITY.md)
+    for k, hub in enumerate(hub_ids):
+        la0, lo0 = lo_lat[hub], lo_lon[hub]
+        workers_k = max(50, int(hub_w[k] * hub_workers_total))
+        area_m2 = max(2000.0, workers_k * 25.0)
+        side_m = float(np.sqrt(area_m2))
+        dla = side_m / 111_000.0
+        dlo = side_m / (111_000.0 * np.cos(np.radians(la0)))
+        cla, clo = la0 + dlat / 2, lo0 + dlon / 2  # centroid in the hub cell
+        ring = [
+            add_node(cla - dla / 2, clo - dlo / 2),
+            add_node(cla + dla / 2, clo - dlo / 2),
+            add_node(cla + dla / 2, clo + dlo / 2),
+            add_node(cla - dla / 2, clo + dlo / 2),
+        ]
+        ways.append(
+            (2 * 10**7 + k, ring + [ring[0]], {"building": "commercial"})
+        )
 
     pbf_path = dirpath / "fixture.osm.pbf"
     pbf_path.write_bytes(
@@ -182,22 +232,33 @@ def write_fixture(
     (dirpath / TABLE_SPECS[CensusTable.POPULATION_DENSITY].filename
      ).write_text("\n".join(rows))
 
-    # commuting: distance-decayed flows to ~12 nearby OAs + self flow
+    # commuting: self / hub / local-decay mixture (census_like.py:148-164
+    # analog, the structure FIDELITY.md shows the v1.6 anatomy needs).
+    # Flows are integers per WF01BEW; the builder samples work OA from the
+    # row CDF, so flow WEIGHTS define the mixture.
     rows = ["CURRENTLY_RESIDING_IN_CODE,PLACE_OF_WORK_TYPE,"
             "PLACE_OF_WORK_NAME,OBS_VALUE,RECORD_OFFSET,RECORD_COUNT"]
+    base = 1000  # weight resolution per row
     for i, c in enumerate(codes):
-        rows.append(f"{c},OA,{c},{max(5, pop_per_oa // 10)},0,0")
-        n_dst = min(12, n_oas - 1)
-        # neighbours in grid distance, decayed
+        # self flow
+        rows.append(f"{c},OA,{c},{max(1, int(base * self_fraction))},0,0")
+        # hub flows (Zipf across the hubs; skip self-duplicates)
+        for k, hub in enumerate(hub_ids):
+            if hub == i:
+                continue
+            f = int(round(base * hub_fraction * hub_w[k]))
+            if f > 0:
+                rows.append(f"{c},OA,{codes[hub]},{f},0,0")
+        # local decay to ~24 nearest OAs at Laplace scale commute_decay
+        n_dst = min(24, n_oas - 1)
         dx = cx - cx[i]
         dy = cy - cy[i]
-        dist = np.abs(dx) + np.abs(dy)
+        dist = (np.abs(dx) + np.abs(dy)).astype(np.float64)
         dist[i] = 10**9
         near = np.argsort(dist, kind="stable")[:n_dst]
-        flows = np.maximum(
-            1, (pop_per_oa // 8) // (1 + dist[near])
-        )
-        for j, f in zip(near, flows):
+        w = np.exp(-dist[near] / commute_decay)
+        w = w / w.sum() * base * (1.0 - self_fraction - hub_fraction)
+        for j, f in zip(near, np.maximum(1, np.round(w).astype(int))):
             rows.append(f"{c},OA,{codes[j]},{int(f)},0,0")
     (dirpath / TABLE_SPECS[CensusTable.RESIDES_VS_WORKPLACE].filename
      ).write_text("\n".join(rows))
