@@ -1,5 +1,5 @@
 # Convenience targets (tests force the CPU platform themselves)
-.PHONY: test bench dryrun native artifacts-check
+.PHONY: test bench dryrun native artifacts-check prewarm
 test:
 	python -m pytest tests/ -q
 
@@ -14,3 +14,6 @@ dryrun:
 
 native:
 	g++ -O3 -shared -fPIC -std=c++17 -o native/libesucd.so native/esucd_native.cc -lz
+
+prewarm:
+	python tools/prewarm.py

@@ -352,6 +352,17 @@ class SimConfig:
     use_sparse_apply: bool | None = None
     #: Hits applied per scatter round of the sparse apply path.
     apply_sparse_slots: int = 8192
+    #: Dense work branch only: ship work hits back to citizen order via
+    #: K-bounded compaction + scatter through ``work_perm`` (hits per
+    #: step are few) instead of the full backward u32 permutation sort —
+    #: the dominant remaining Y&H work-hour cost (2.79 ms/sort,
+    #: docs/PERF.md xplane decomposition).  Exact at any hit count: past
+    #: ``workback_slots`` hits an inner cond falls back to the sort, so
+    #: trajectories are bitwise-identical either way (tested).  None =
+    #: auto (resolution recorded with its measurement in docs/PERF.md).
+    use_sparse_workback: bool | None = None
+    #: Hit slots of the dense-branch sparse work-back compaction.
+    workback_slots: int = 8192
     #: Sortless work branch (sparse-apply path only): replace the forward
     #: N-sized u32 permutation sort — the dominant moving-hour cost at 63M
     #: (docs/PERF.md xplane decomposition) — with K-bounded drains: the

@@ -589,10 +589,36 @@ def fast_step(
         else:
             oa_work = jnp.zeros((0,), jnp.int32)
 
-        # ship the work hit back to citizen order
-        hit_work = permute_by_sort(
-            world.work_perm, hit_work_ws.astype(jnp.int8), bits=1
-        ).astype(bool)
+        # ship the work hit back to citizen order.  Default: K-bounded
+        # compaction of the (few) hit slots + scatter through work_perm
+        # (SimConfig.use_sparse_workback) — the backward u32 sort costs
+        # 2.79 ms at Y&H (docs/PERF.md xplane decomposition) while hits
+        # per hour are typically tens-to-thousands.  The >K fallback
+        # keeps the lane bitwise-identical at any hit count.
+        swb = cfg.use_sparse_workback
+        if swb is None:
+            swb = True
+        if swb:
+            from ..ops.sparse import compact_positions, scatter_bits
+
+            KB = max(1, min(cfg.workback_slots, n))
+            pos_h, live_h, cnt_h = compact_positions(hit_work_ws, KB)
+            cit_h = jnp.take(world.work_perm, jnp.minimum(pos_h, n - 1))
+            sp_back = scatter_bits(
+                n, jnp.minimum(cit_h, n - 1), live_h & (cit_h < n)
+            )
+            hit_work = jax.lax.cond(
+                cnt_h > KB,
+                lambda lane: permute_by_sort(
+                    world.work_perm, lane.astype(jnp.int8), bits=1
+                ).astype(bool),
+                lambda _: sp_back,
+                hit_work_ws,
+            )
+        else:
+            hit_work = permute_by_sort(
+                world.work_perm, hit_work_ws.astype(jnp.int8), bits=1
+            ).astype(bool)
         return hit_work, oa_work
 
     def work_side_rep(packed):

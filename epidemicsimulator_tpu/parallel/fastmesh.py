@@ -408,6 +408,16 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
         ) != 0
         return hit_work, oa_work
 
+    # debug/probe gate forcings (SimConfig.debug_force_gates) — same
+    # subtractive-measurement hook as engine/fastpath.py; NOT
+    # semantics-preserving when forcing a live side off.
+    if cfg.debug_force_gates is not None:
+        gw, gb = cfg.debug_force_gates
+        if gw is not None:
+            work_pred = jnp.asarray(bool(gw))
+        if gb is not None:
+            bus_pred = jnp.asarray(bool(gb))
+
     hit_work, oa_work = jax.lax.cond(
         work_pred,
         work_side,

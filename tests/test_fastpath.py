@@ -129,3 +129,41 @@ def test_rider_extract_sort_matches_gather():
     np.testing.assert_array_equal(trajs[0], trajs[1])
     # the run must actually exercise the bus path (new exposures happened)
     assert (trajs[0][-1] != trajs[0][0]).any()
+
+
+@pytest.mark.parametrize("slots", [8192, 2])
+def test_sparse_workback_bitwise_matches_sort(slots):
+    """SimConfig.use_sparse_workback (dense work branch: hit slots
+    compacted + scattered through work_perm instead of the backward
+    permutation sort) must be bitwise-identical to the sort — including
+    with workback_slots=2, which forces the >K sort fallback on nearly
+    every live work hour."""
+    world = generate_synthetic_world(9_000, n_output_areas=6, seed=5)
+    wd = world.device_put()
+    base = Params.covid()
+    params = Params(
+        dataclasses.replace(base.disease, exposure_chance=0.9),
+        base.thresholds,
+    ).as_arrays()
+    results = {}
+    for swb in (False, True):
+        cfg = SimConfig(
+            use_fused_citizen=True, use_pallas_scans=False,
+            use_sparse_workback=swb, workback_slots=slots,
+        )
+        st = init_state(wd, seed=2, starting_infected=60)
+        jstep = jax.jit(lambda w, p, s: step(w, p, cfg, s))
+        rows = []
+        for _ in range(48):
+            st, out = jstep(wd, params, st)
+            rows.append(np.asarray(out.seirv))
+        results[swb] = (
+            rows, np.asarray(st.status), np.asarray(st.timer),
+        )
+    for t, (a, b) in enumerate(zip(results[False][0], results[True][0])):
+        np.testing.assert_array_equal(a, b, err_msg=f"seirv step {t}")
+    for k in (1, 2):
+        np.testing.assert_array_equal(results[False][k], results[True][k])
+    # the run must actually have produced new exposures (E pool nonzero;
+    # 48h < exposed_time so conversions haven't happened yet)
+    assert results[True][0][-1][1] > 0

@@ -104,6 +104,22 @@ CHECKS = [
      ) else 0.0,
      ("sortless default beats sorted at 63M with bitwise trajectories",
       1.0)),
+    # --- York pipeline envelope gate (sample_results/york_pipeline) --------
+    ("docs/PERF.md",
+     r"peak ([\d,]+) vs canonical 89,170",
+     "sample_results/york_pipeline/summary.json",
+     lambda a: a["peak_infected"], 0.0),
+    ("docs/PERF.md",
+     r"CLI total \*\*([\d.]+) s\*\* for the [\d,]+-step",
+     "sample_results/york_pipeline/summary.json",
+     lambda a: a["cli_total_s"], 0.0),
+    (None, None,
+     "sample_results/york_pipeline/summary.json",
+     lambda a: 1.0 if (
+         a.get("envelope_gate")
+         and all(v["inside"] for v in a["envelope_gate"].values())
+     ) else 0.0,
+     ("york_pipeline epidemic inside the 32-seed v1.6 envelope", 1.0)),
     # --- v1.6 fidelity gate (sample_results/york_v16) ----------------------
     ("docs/FIDELITY.md",
      r"(\d+) runs \(\d+ world seeds x \d+ sim seeds each",
@@ -126,17 +142,26 @@ CHECKS = [
 
 
 def check_bench_headline(verbose=True):
-    """README's front-page throughput headline must quote the newest
-    driver-measured BENCH_r*.json (VERDICT r3 weak #6: README said 911M
-    while BENCH_r03 measured 885M and no artifact recorded 911M)."""
+    """README's front-page throughput headline must quote committed
+    evidence (VERDICT r3 weak #6: README said 911M while BENCH_r03
+    measured 885M and no artifact recorded 911M).  Primary source: the
+    committed `sample_results/bench_headline.json` (a bench.py run);
+    fallback: the newest driver BENCH_r*.json."""
     failures = []
-    benches = sorted(ROOT.glob("BENCH_r*.json"))
-    if not benches:
-        return ["no BENCH_r*.json present"]
-    bench = json.loads(benches[-1].read_text())
-    parsed = bench.get("parsed") or {}
-    want_m = parsed.get("value", 0) / 1e6
-    want_x = parsed.get("vs_baseline", 0)
+    art = ROOT / "sample_results" / "bench_headline.json"
+    if art.exists():
+        a = json.loads(art.read_text())
+        want_m = a["citizen_steps_per_sec"] / 1e6
+        want_x = a["vs_baseline"]
+        src = "sample_results/bench_headline.json"
+    else:
+        benches = sorted(ROOT.glob("BENCH_r*.json"))
+        if not benches:
+            return ["no bench evidence (bench_headline.json or BENCH_r*)"]
+        parsed = json.loads(benches[-1].read_text()).get("parsed") or {}
+        want_m = parsed.get("value", 0) / 1e6
+        want_x = parsed.get("vs_baseline", 0)
+        src = benches[-1].name
     text = _doc("README.md")
     m = re.search(
         r"\*\*([\d,]+)M citizen-steps/s, ([\d.]+)× the reference", text
@@ -144,17 +169,17 @@ def check_bench_headline(verbose=True):
     if not m:
         return [f"README.md: bench headline pattern not found "
                 f"(expected '**<N>M citizen-steps/s, <X>× the reference' "
-                f"quoting {benches[-1].name})"]
+                f"quoting {src})"]
     got_m = float(m.group(1).replace(",", ""))
     got_x = float(m.group(2))
     ok = abs(got_m - want_m) <= 0.005 * want_m and abs(got_x - want_x) <= 0.5
     if verbose:
         print(f"{'ok ' if ok else 'FAIL'} README.md headline {got_m:.0f}M/"
-              f"{got_x}x vs {benches[-1].name} {want_m:.0f}M/{want_x}x")
+              f"{got_x}x vs {src} {want_m:.0f}M/{want_x}x")
     if not ok:
         failures.append(
             f"README.md headline quotes {got_m:.0f}M/{got_x}x but "
-            f"{benches[-1].name} measured {want_m:.0f}M/{want_x}x"
+            f"{src} measured {want_m:.0f}M/{want_x}x"
         )
     return failures
 

@@ -26,7 +26,16 @@ def main():
     ap.add_argument("--chunks", type=int, default=4)
     ap.add_argument("--skip-single", action="store_true")
     ap.add_argument("--profile", default=None,
-                    help="dump an xplane trace of one sharded chunk here")
+                    help="dump an xplane trace of one sharded chunk here "
+                    "(NOTE: jax.profiler.trace around the shard_map "
+                    "executable crashes this tunnel's TPU backend — "
+                    "reproducible INVALID_ARGUMENT; use --gates for "
+                    "subtractive decomposition instead)")
+    ap.add_argument("--gates", default="on",
+                    help="comma list of gate arms (on|bus-off|work-off|"
+                    "both-off) forced in BOTH engines — semantics-changing; "
+                    "for step-budget subtraction.  All arms share one "
+                    "process (one tunnel attach).")
     args = ap.parse_args()
     from epidemicsimulator_tpu.utils import enable_compilation_cache
 
@@ -44,7 +53,13 @@ def main():
         args.citizens, n_output_areas=args.oas, seed=0
     )
     params = Params.covid()
-    cfg = SimConfig(max_steps=10**9, chunk_size=args.chunk)
+    GATE_MAP = {
+        "on": None,
+        "bus-off": (None, False),
+        "work-off": (False, None),
+        "both-off": (False, False),
+    }
+    arms = [a.strip() for a in args.gates.split(",")]
 
     def timed(label, fn, state, *rest):
         t0 = time.perf_counter()
@@ -77,35 +92,43 @@ def main():
     t0 = time.perf_counter()
     sw = partition_world(world, 1)
     print(f"partition: {time.perf_counter() - t0:.1f}s", flush=True)
-    st = init_sharded_state(world, sw, seed=0, starting_infected=100)
     w_sh = jax.tree.map(
         lambda x: jax.device_put(jax.numpy.asarray(x),
                                  NamedSharding(mesh, P("pop")))
         if hasattr(x, "shape") else x,
         sw,
     )
-    runner = make_fast_sharded_runner(sw, cfg, mesh)
     p = params.as_arrays()
-    ms_sh = timed("sharded-1dev", lambda pp, s: runner(w_sh, pp, s), st, p)
-    if args.profile:
-        import glob
-
-        with jax.profiler.trace(args.profile):
-            st, out = runner(w_sh, p, st)
-            jax.block_until_ready(jax.tree.leaves(out))
-        print("traces:",
-              glob.glob(args.profile + "/**/*.xplane.pb", recursive=True),
-              flush=True)
-
     if not args.skip_single:
         from epidemicsimulator_tpu.engine.scan import make_chunk_runner
         from epidemicsimulator_tpu.engine.state import init_state
 
         wd = world.device_put()
-        st1 = init_state(world, seed=0, starting_infected=100)
-        fn1 = make_chunk_runner(wd, cfg)
-        ms_1 = timed("fastpath", fn1, st1, p)
-        print(f"ratio sharded/fastpath: {ms_sh / ms_1:.2f}", flush=True)
+
+    for arm in arms:
+        cfg = SimConfig(max_steps=10**9, chunk_size=args.chunk,
+                        debug_force_gates=GATE_MAP[arm])
+        st = init_sharded_state(world, sw, seed=0, starting_infected=100)
+        runner = make_fast_sharded_runner(sw, cfg, mesh)
+        ms_sh = timed(f"sharded-1dev[{arm}]",
+                      lambda pp, s: runner(w_sh, pp, s), st, p)
+        if args.profile:
+            import glob
+
+            with jax.profiler.trace(args.profile):
+                st, out = runner(w_sh, p, st)
+                jax.block_until_ready(jax.tree.leaves(out))
+            print("traces:",
+                  glob.glob(args.profile + "/**/*.xplane.pb",
+                            recursive=True),
+                  flush=True)
+
+        if not args.skip_single:
+            st1 = init_state(world, seed=0, starting_infected=100)
+            fn1 = make_chunk_runner(wd, cfg)
+            ms_1 = timed(f"fastpath[{arm}]", fn1, st1, p)
+            print(f"[{arm}] ratio sharded/fastpath: {ms_sh / ms_1:.2f} "
+                  f"(delta {ms_sh - ms_1:.2f} ms/step)", flush=True)
 
 
 if __name__ == "__main__":
