@@ -441,8 +441,19 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
         )
 
     def bus_side(fwd):
-        ext = _ext(fwd, 0)
-        pk = jnp.take(ext, rl)
+        # Rider-order input bits via ONE shard-local key-sort on the
+        # static rpos_local rank (the fastpath rpos trick: sort over S
+        # beats the R-sized gather, docs/PERF.md "sharded 1-dev
+        # decomposition") — pad rider slots receive non-rider citizens
+        # whose on_bus bit is 0, so they sort to the invalid tail and the
+        # hit set is bitwise the gather formulation's.  Gather fallback
+        # for partitions cached before the lane existed.
+        R_s = rl.shape[0]
+        if sw.rpos_local is not None:
+            pk = permute_by_sort(sq(sw.rpos_local), fwd, bits=6)[:R_s]
+        else:
+            ext = _ext(fwd, 0)
+            pk = jnp.take(ext, rl)
         return bus_hits(
             k_bus, k_b,
             (pk & 8) != 0, (pk & 16) != 0, (pk & 2) != 0,

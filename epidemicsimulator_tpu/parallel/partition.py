@@ -93,6 +93,16 @@ class ShardedWorld:
     #: (n_dev, S) int32 global citizen id per padded local position (pad -1);
     #: host-side mapping for state scatter/gather, not used on device.
     global_id: Any = None
+    #: (n_dev, S) int32 rider-compaction rank per shard: local rider
+    #: citizens -> their rider_local slot, everyone else fills the
+    #: remaining ranks (a complete permutation of [0, S) per shard).  The
+    #: bus side moves its input bits into rider order with ONE shard-local
+    #: key-sort instead of an R-sized gather (the fastpath rpos trick,
+    #: world/schema.py) — pad rider slots receive non-rider citizens whose
+    #: on_bus bit is always 0, so they sort to the invalid tail and the
+    #: hit set is bitwise the gather formulation's.  None on partitions
+    #: built before the lane existed (gather fallback).
+    rpos_local: Any = None
 
 
 def partition_world(world: World, n_dev: int,
@@ -266,6 +276,20 @@ def partition_world(world: World, n_dev: int,
         rider_route[rs, rpos] = rr[ord3]
         rider_compliant[rs, rpos] = compliant[rp[ord3]]
 
+    # per-shard rider-compaction rank (see ShardedWorld.rpos_local):
+    # local riders take their rider_local slot as rank; every other local
+    # position fills the remaining ranks so each row is a complete
+    # permutation of [0, S)
+    rpos_sh = np.full((n_dev, S), -1, np.int64)
+    if len(rp):
+        rpos_sh[rs, local_of[rp[ord3]]] = rpos
+    for d in range(n_dev):
+        row = rpos_sh[d]
+        free = row < 0
+        free_ranks = np.setdiff1d(np.arange(S), row[~free])
+        row[free] = free_ranks
+        rpos_sh[d] = row
+
     # ---- per-citizen lanes, padded ------------------------------------
     def cit_lane(vals, pad, dtype):
         out = np.full((n_dev, S), pad, dtype)
@@ -343,6 +367,7 @@ def partition_world(world: World, n_dev: int,
         max_household_size=world.max_household_size,
         n_citizens=n,
         global_id=i32(gid),
+        rpos_local=i32(rpos_sh),
     )
 
 
