@@ -363,6 +363,15 @@ class SimConfig:
     use_sparse_workback: bool | None = None
     #: Hit slots of the dense-branch sparse work-back compaction.
     workback_slots: int = 8192
+    #: Dense apply path: replace the forward work permutation sort with
+    #: the sortless K-bounded drains (the ``use_sortless_work`` machinery,
+    #: hits scattered straight back to citizen order) on hours whose
+    #: contributor count fits ``sortless_slots * sortless_max_rounds``;
+    #: heavier hours route to the sorted branch via the dispatch switch.
+    #: Bitwise-identical to the sorted dense branch (same streams, same
+    #: hit set; tested).  None = auto: on (measured 3.17 -> 2.62 ms/step
+    #: at Y&H bench scale — docs/PERF.md "Dense sortless work").
+    use_sortless_dense: bool | None = None
     #: Sortless work branch (sparse-apply path only): replace the forward
     #: N-sized u32 permutation sort — the dominant moving-hour cost at 63M
     #: (docs/PERF.md xplane decomposition) — with K-bounded drains: the

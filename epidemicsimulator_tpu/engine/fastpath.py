@@ -212,6 +212,31 @@ def wants_sortless_work(world: World, cfg: SimConfig, state: SimState) -> bool:
     return bool(sl) and wants_sparse_apply(world, cfg, state)
 
 
+def wants_sortless_dense(world: World, cfg: SimConfig, state: SimState) -> bool:
+    """Whether the DENSE apply's work branch runs the sortless formulation
+    (SimConfig.use_sortless_dense): the same K-bounded drains as the
+    sparse path's sortless branch, with hits scattered straight back to
+    citizen order.  Requires the fused kernel (contributor counts from
+    the partials lane route the dispatch switch) and the classic
+    formulation; mutually exclusive with the sparse apply by construction
+    (that path has its own sortless branch)."""
+    sd = cfg.use_sortless_dense
+    if sd is None:
+        # Auto: ON.  Measured at Y&H bench scale: 3.17 -> 2.62 ms/step
+        # with bitwise-identical trajectories (docs/PERF.md "Dense
+        # sortless work"); the dispatch switch already routes
+        # contributor-heavy hours to the sorted body, so there is no
+        # known regime where the sorted-only cond wins.
+        sd = True
+    return (
+        bool(sd)
+        and wants_fused_citizen(world, cfg)
+        and not wants_replicated(world, cfg, state)
+        and not wants_sparse_apply(world, cfg, state)
+        and not (cfg.record_exposures_per_oa and world.oa_lo.shape[0] == 0)
+    )
+
+
 def make_rider_statics(world: World):
     """Rider-order schedule lanes for the replicated bus path — one-time
     gathers, built outside the scan so they are loop-invariant."""
@@ -788,7 +813,7 @@ def fast_step(
             oa_work,
         )
 
-    def work_side_sortless(fwd):
+    def work_side_sortless(fwd, dense_out: bool = False):
         # VERDICT-r2 #6 "sortless work branch".  Same pressure tables, hash
         # streams and hit set as work_side_sparse — but the forward
         # N-sized u32 permutation sort (the dominant 63M moving-hour cost,
@@ -893,7 +918,12 @@ def fast_step(
             fbits = jnp.take(fwd, cit)
             hitk = ((fbits & 2) != 0) & live
             fw = hitk & ((fbits & 4) == 0)
-            lane = lane.at[jnp.where(hitk, pos, n)].set(True, mode="drop")
+            # dense_out: scatter hits straight to CITIZEN order (the
+            # dense apply consumes an (n,) citizen lane, so the ws-order
+            # lane + work-back conversion is skipped entirely)
+            lane = lane.at[
+                jnp.where(hitk, cit if dense_out else pos, n)
+            ].set(True, mode="drop")
             cw = cw + jnp.sum(hitk.astype(jnp.int32))
             nw = nw + jnp.sum(fw.astype(jnp.int32))
             if record_oa:
@@ -975,15 +1005,47 @@ def fast_step(
                 fwd_packed,
             )
     else:
-        hit_work, oa_work = jax.lax.cond(
-            work_pred,
-            work_side,
-            lambda fwd: (
+
+        def _work_zeros_d(fwd):
+            return (
                 jnp.zeros((n,), bool),
                 jnp.zeros((n_oa_out,), jnp.int32),
-            ),
-            fwd_packed,
-        )
+            )
+
+        if wants_sortless_dense(world, cfg, state):
+            # Same dispatch shape as the sparse path's sortless switch:
+            # contributor-light hours run the drains (no forward sort),
+            # heavy hours route to the sorted body; predicates come from
+            # the kernel partials so no N-lane work precedes the switch.
+            assert use_fused
+
+            def work_side_sortless_d(fwd):
+                lane, _cnt, _nf, oa = work_side_sortless(
+                    fwd, dense_out=True
+                )
+                return lane, oa
+
+            tot_c_free_d = jnp.sum(partials[:, 5])
+            bound_wd = max(1, min(cfg.sortless_slots, n)) * max(
+                1, cfg.sortless_max_rounds
+            )
+            sel_wd = jnp.where(
+                work_pred,
+                jnp.where(tot_c_free_d > bound_wd, 1, 2),
+                0,
+            ).astype(jnp.int32)
+            hit_work, oa_work = jax.lax.switch(
+                sel_wd,
+                [_work_zeros_d, work_side, work_side_sortless_d],
+                fwd_packed,
+            )
+        else:
+            hit_work, oa_work = jax.lax.cond(
+                work_pred,
+                work_side,
+                _work_zeros_d,
+                fwd_packed,
+            )
 
     # 8. bus side (rider-compacted; simulator.rs:360-401).  One packed key
     #    sort on the static rider-compaction rank moves (on_bus, infected,

@@ -370,3 +370,45 @@ def test_sortless_bus_overflow_fallback_bitwise(faithful):
         np.testing.assert_array_equal(a, b, err_msg=f"seirv step {t}")
     for k in (1, 2, 3):
         np.testing.assert_array_equal(results[False][k], results[True][k])
+
+
+@pytest.mark.parametrize("faithful", [True, False])
+def test_sortless_dense_bitwise_matches_sorted(faithful):
+    """The DENSE apply's sortless work branch (SimConfig.use_sortless_dense:
+    the sparse path's K-bounded drains with hits scattered straight back
+    to citizen order) must be bitwise-identical to the sorted dense
+    branch.  sortless_slots=4 forces multi-round drains; max_rounds=4
+    routes peak hours through the sorted side of the dispatch switch, so
+    BOTH sides execute."""
+    world = generate_synthetic_world(8_000, n_output_areas=6, seed=11)
+    wd = world.device_put()
+    base = Params.covid()
+    params = Params(
+        dataclasses.replace(base.disease, exposure_chance=0.9),
+        base.thresholds,
+    ).as_arrays()
+    results = {}
+    for sortless in (False, True):
+        cfg = SimConfig(
+            use_fused_citizen=True, use_pallas_scans=False,
+            use_sortless_dense=sortless, sortless_slots=4,
+            sortless_max_rounds=4,
+            bus_capacity=16, faithful_vaccine_bugs=faithful,
+        )
+        st = init_state(wd, seed=2, starting_infected=50)
+        jstep = jax.jit(lambda w, p, s: step(w, p, cfg, s))
+        rows = []
+        for _ in range(48):
+            st, out = jstep(wd, params, st)
+            rows.append(
+                (np.asarray(out.seirv), np.asarray(out.exposures_per_oa))
+            )
+        results[sortless] = (
+            rows, np.asarray(st.status), np.asarray(st.timer),
+            np.asarray(st.eligible),
+        )
+    for t, (a, b) in enumerate(zip(results[False][0], results[True][0])):
+        np.testing.assert_array_equal(a[0], b[0], err_msg=f"seirv step {t}")
+        np.testing.assert_array_equal(a[1], b[1], err_msg=f"oa step {t}")
+    for k in (1, 2, 3):
+        np.testing.assert_array_equal(results[False][k], results[True][k])
