@@ -484,7 +484,10 @@ def fast_step(
     if rider_statics is None and (
         rep
         or (
-            wants_sortless_work(world, cfg, state)
+            (
+                wants_sortless_work(world, cfg, state)
+                or wants_sortless_dense(world, cfg, state)
+            )
             and R > 0
             and world.rpos is not None
             and world.rpos.shape[0] == n
@@ -1267,9 +1270,110 @@ def fast_step(
                 )
             )
     else:
-        hit_bus = jax.lax.cond(
-            bus_pred, bus_branch, lambda _: jnp.zeros((n,), bool), fwd_packed
+        sortless_bus_d = (
+            wants_sortless_dense(world, cfg, state)
+            and R > 0
+            and world.rpos is not None
+            and world.rpos.shape[0] == n
+            and rider_statics is not None
         )
+        if sortless_bus_d:
+            # Dense twin of the sparse path's sortless bus branch: skip
+            # the citizen->rider permutation sort on moving hours (on_bus
+            # from the static rider schedule; the few infected riders
+            # scatter through rpos; susceptibility gates the compacted
+            # post-draw candidates) and scatter the hit citizen ids
+            # straight into the (n,) lane.  Bitwise the sorted branch's
+            # hit set; candidate overflow falls back to it.
+            assert use_fused
+            ws_r_d, we_r_d = rider_statics
+            k_bt_d = (
+                min(16384, R)
+                if cfg.debug_bus_hit_slots is None
+                else max(1, min(cfg.debug_bus_hit_slots, R))
+            )
+
+            def bus_branch_sl_dense(packed):
+                from ..ops.segments import bus_hits_sortless
+                from ..ops.sparse import (
+                    block_hierarchy, compact_from_hierarchy,
+                )
+
+                K_SL = max(1, min(cfg.sortless_slots, n))
+                inf_onbus = (packed & 24) == 24
+                h_ib = block_hierarchy(inf_onbus, block=128)
+
+                def i_round(c):
+                    done, lane = c
+                    pos, live, _ = compact_from_hierarchy(
+                        h_ib, K_SL, offset=done, n=n, sb=128
+                    )
+                    r_idx = jnp.take(
+                        world.rpos, jnp.minimum(pos, n - 1)
+                    )
+                    lane = lane.at[jnp.where(live, r_idx, R)].set(
+                        True, mode="drop"
+                    )
+                    return done + jnp.sum(live.astype(jnp.int32)), lane
+
+                _, rb_inf = jax.lax.while_loop(
+                    lambda c: c[0] < h_ib[2],
+                    i_round,
+                    (jnp.int32(0), jnp.zeros((R,), bool)),
+                )
+                arm_r = (h24 == ws_r_d - 1) | (h24 == we_r_d - 1)
+
+                def susc_of_rider(rider_ids):
+                    cit = jnp.take(
+                        world.rider_perm,
+                        jnp.minimum(rider_ids, max(R - 1, 0)),
+                        mode="clip",
+                    )
+                    return (jnp.take(packed, cit) & 2) != 0
+
+                _, _, live, _, cit_ids, cand_total = bus_hits_sortless(
+                    k_bus, k_b, arm_r, rb_inf,
+                    world.rider_mask_compliant,
+                    world.rider_route, world.rider_perm,
+                    cfg.bus_capacity, p_fn, susc_of_rider,
+                    max_hits=k_bt_d,
+                )
+                lane = (
+                    jnp.zeros((n,), bool)
+                    .at[jnp.where(live, cit_ids, n)]
+                    .set(True, mode="drop")
+                )
+                return jax.lax.cond(
+                    cand_total <= k_bt_d,
+                    lambda _: lane,
+                    bus_branch,
+                    packed,
+                )
+
+            assert use_fused
+            tot_ib_d = jnp.sum(partials[:, 6])
+            bound_bd = max(1, min(cfg.sortless_slots, n)) * max(
+                1, cfg.sortless_max_rounds
+            )
+            sel_bd = jnp.where(
+                bus_pred,
+                jnp.where(move & (tot_ib_d <= bound_bd), 2, 1),
+                0,
+            ).astype(jnp.int32)
+            hit_bus = jax.lax.switch(
+                sel_bd,
+                [
+                    lambda _: jnp.zeros((n,), bool),
+                    bus_branch,
+                    bus_branch_sl_dense,
+                ],
+                fwd_packed,
+            )
+        else:
+            hit_bus = jax.lax.cond(
+                bus_pred, bus_branch, lambda _: jnp.zeros((n,), bool),
+                fwd_packed,
+            )
 
     # 9. combine + bookkeeping (statistics.rs:181-195, 275-287)
     if use_fused and packed2d:

@@ -121,10 +121,12 @@ def make_chunk_runner(world: World, cfg: SimConfig):
                 if packed:
                     state = to_2d_carry(pack_sched(state))
             rider_statics = None
-            from .fastpath import wants_sortless_work
+            from .fastpath import wants_sortless_dense, wants_sortless_work
 
-            if wants_replicated(world, cfg, state) or wants_sortless_work(
-                world, cfg, state
+            if (
+                wants_replicated(world, cfg, state)
+                or wants_sortless_work(world, cfg, state)
+                or wants_sortless_dense(world, cfg, state)
             ):
                 rider_statics = make_rider_statics(world)
 

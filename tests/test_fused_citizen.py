@@ -373,7 +373,8 @@ def test_sortless_bus_overflow_fallback_bitwise(faithful):
 
 
 @pytest.mark.parametrize("faithful", [True, False])
-def test_sortless_dense_bitwise_matches_sorted(faithful):
+@pytest.mark.parametrize("bus_slots", [None, 2])
+def test_sortless_dense_bitwise_matches_sorted(faithful, bus_slots):
     """The DENSE apply's sortless work branch (SimConfig.use_sortless_dense:
     the sparse path's K-bounded drains with hits scattered straight back
     to citizen order) must be bitwise-identical to the sorted dense
@@ -394,6 +395,9 @@ def test_sortless_dense_bitwise_matches_sorted(faithful):
             use_sortless_dense=sortless, sortless_slots=4,
             sortless_max_rounds=4,
             bus_capacity=16, faithful_vaccine_bugs=faithful,
+            # bus_slots=2 forces the dense sortless bus branch's
+            # candidate-overflow fallback cond
+            debug_bus_hit_slots=bus_slots,
         )
         st = init_state(wd, seed=2, starting_infected=50)
         jstep = jax.jit(lambda w, p, s: step(w, p, cfg, s))
