@@ -372,6 +372,15 @@ class SimConfig:
     #: hit set; tested).  None = auto: on (measured 3.17 -> 2.62 ms/step
     #: at Y&H bench scale — docs/PERF.md "Dense sortless work").
     use_sortless_dense: bool | None = None
+    #: SHARDED engine only: run the sortless work/bus formulations inside
+    #: the shard_map step (carried slot-space schedule lanes, contributor
+    #: drains with ghost-bit merges, deferred susceptibility).
+    #: Bitwise-identical to the sorted sharded branches (tested on the
+    #: CPU mesh) but measured SLOWER on the 1-device TPU proxy (14.5 vs
+    #: 8.4 ms/step — docs/PERF.md "Negative result: sortless sharded
+    #: branches"), so None = auto: OFF.  Kept as an opt-in for re-testing
+    #: on real multi-chip meshes where the sort/drain trade may differ.
+    use_sortless_sharded: bool | None = None
     #: Sortless work branch (sparse-apply path only): replace the forward
     #: N-sized u32 permutation sort — the dominant moving-hour cost at 63M
     #: (docs/PERF.md xplane decomposition) — with K-bounded drains: the

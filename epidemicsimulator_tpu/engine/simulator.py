@@ -76,7 +76,7 @@ class Simulator:
             self.sw = partition_world(world, n_dev)
             self.state = init_sharded_state(
                 world, self.sw, seed=seed,
-                starting_infected=self.cfg.starting_infected,
+                starting_infected=self.cfg.starting_infected, cfg=self.cfg,
             )
         else:
             self.world = world.device_put()

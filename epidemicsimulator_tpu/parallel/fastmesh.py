@@ -112,7 +112,8 @@ def _shard_citizen_statics(sw: ShardedWorld, sq):
 
 
 def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
-                    state: SimState, fused_statics=None):
+                    state: SimState, fused_statics=None,
+                    rider_statics=None):
     """One hour on one shard (inside shard_map).  Per-citizen lanes are
     local (S,); scalars and outputs are replicated via psum.
 
@@ -216,8 +217,10 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
         hit_home = (gates & 4) != 0
         fwd6 = gates | ((sched1 & 1) << 5)
         seirv0 = gsum(jnp.sum(partials[:, :5], axis=0))
-        work_pred = gsum(jnp.sum(partials[:, 5])) > 0
-        bus_pred = gsum(jnp.sum(partials[:, 6])) > 0
+        tot_ib_sh = gsum(jnp.sum(partials[:, 6]))
+        tot_c_sh = gsum(jnp.sum(partials[:, 5]))
+        work_pred = tot_c_sh > 0
+        bus_pred = tot_ib_sh > 0
         sched_lanes = dict(
             sched=sched1,
             at_work=jnp.zeros((0,), jnp.bool_),
@@ -225,6 +228,8 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
             bus_to_work=jnp.zeros((0,), jnp.bool_),
         )
     else:
+        tot_ib_sh = None
+        tot_c_sh = None
         # 1. timers (disease.rs:47-71); PAD_STATUS citizens never transition
         status, timer = state.status, jnp.asarray(state.timer, jnp.int32)
         is_e = status == STATUS_EXPOSED
@@ -296,6 +301,35 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
             at_work=at_work, on_bus=on_bus, bus_to_work=bus_to_work,
             sched=jnp.zeros((0,), jnp.int8),
         )
+
+    # --- slot-space schedule lanes (sortless work branch) -----------------
+    # The slot's occupant is static, so the slot's at_work/on_bus follow
+    # the occupant's _movement recurrence exactly — carried in slot space
+    # (SimState.at_work_ws/on_bus_ws are repurposed as (W,) lanes in the
+    # sharded engine) and updated every hour, so the sortless work branch
+    # never needs the occupant bits transported through the slot sort.
+    slot_sched_live = (
+        sw.slot_ws is not None
+        and state.at_work_ws is not None
+        and state.at_work_ws.shape[0] == W
+    )
+    if slot_sched_live:
+        s_ws_l = jnp.asarray(sq(sw.slot_ws), jnp.int8)
+        s_we_l = jnp.asarray(sq(sw.slot_we), jnp.int8)
+        s_uses_l = sq(sw.slot_uses)
+        arm_bo_s = (h24 == s_ws_l - 1) & s_uses_l
+        arm_bh_s = (h24 == s_we_l - 1) & s_uses_l
+        on_bus_s1 = jnp.where(move, arm_bo_s | arm_bh_s, state.on_bus_ws)
+        at_work_s1 = jnp.where(
+            move,
+            jnp.where(
+                h24 == s_ws_l, True,
+                jnp.where(h24 == s_we_l, False, state.at_work_ws),
+            ),
+            state.at_work_ws,
+        )
+    else:
+        at_work_s1, on_bus_s1 = state.at_work_ws, state.on_bus_ws
 
     # 5-7. work side with ghost slots, gated: no infected worker anywhere
     #    -> every q is 0, the zero branch is value-identical and skips the
@@ -418,15 +452,207 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
         if gb is not None:
             bus_pred = jnp.asarray(bool(gb))
 
-    hit_work, oa_work = jax.lax.cond(
-        work_pred,
-        work_side,
-        lambda _: (
+    sd_work = cfg.use_sortless_sharded
+    if sd_work is None:
+        sd_work = False
+    sortless_work_sh = (
+        bool(sd_work)
+        and use_fused
+        and tot_c_sh is not None
+        and slot_sched_live
+        and sw.slot_oa is not None
+        and sw.slot_ws is not None
+    )
+
+    def _work_zeros_sh(_):
+        return (
             jnp.zeros((S,), bool),
             jnp.zeros((n_oa_out,), jnp.int32),
-        ),
-        fwd6,
-    )
+        )
+
+    if sortless_work_sh:
+
+        def work_side_sl(fwd):
+            # Sortless sharded work branch (the dense fastpath lever with
+            # ghost handling): local contributor bits drain into slot
+            # space through the static sort_rank (contributors are
+            # participants, so their rank IS their slot); ghost bits
+            # arrive by the SAME all_to_all as the sorted branch and
+            # scatter sparsely; pressure/draws run in slot space off the
+            # carried slot schedule lanes; the few post-draw candidates
+            # compact back — susceptibility/hit-home read from the local
+            # citizen bits or the received ghost bits; ghost hits return
+            # by the same reverse all_to_all.  Bitwise the sorted
+            # branch's hit set (same pressure tables, same
+            # hash(slot_ws_index) stream).
+            from ..ops.sparse import block_hierarchy, compact_from_hierarchy
+
+            K_SL = max(1, min(cfg.sortless_slots, S))
+            contrib_c = (fwd & 1) != 0
+            h_c = block_hierarchy(contrib_c, block=128)
+
+            # ghost exchange (identical to the sorted branch)
+            fwd_ext = _ext(fwd, 0)
+            send = jnp.take(
+                fwd_ext, sq(sw.out_ghost_src).reshape(-1)
+            ).reshape(n_dev, G)
+            recv = jax.lax.all_to_all(
+                send, AXIS, split_axis=0, concat_axis=0
+            )
+            rsp = sq(sw.recv_slot_pos).reshape(-1)
+            gbits = (
+                jnp.zeros((W + 1,), jnp.int8)
+                .at[rsp]
+                .set(recv.reshape(-1), mode="drop")[:W]
+            )
+
+            rank_l = sq(sw.sort_rank)
+            L_l = rank_l.shape[0]
+
+            def c_round(c):
+                done, lane = c
+                pos, live, _ = compact_from_hierarchy(
+                    h_c, K_SL, offset=done, n=S, sb=128
+                )
+                slot = jnp.take(rank_l, jnp.minimum(pos, L_l - 1))
+                lane = lane.at[
+                    jnp.where(live & (slot < W), slot, W)
+                ].set(jnp.int8(1), mode="drop")
+                return done + jnp.sum(live.astype(jnp.int32)), lane
+
+            _, contrib_loc8 = jax.lax.while_loop(
+                lambda c: c[0] < h_c[2],
+                c_round,
+                (jnp.int32(0), jnp.zeros((W,), jnp.int8)),
+            )
+            # A cross-shard worker's LOCAL rank is a filler (its real slot
+            # lives on the owner shard), so the drains can deposit
+            # phantom bits on ghost/pad slot positions — the sorted
+            # branch's recv scatter OVERWRITES those, so mask to
+            # local-active slots and read ghost slots from the received
+            # bits instead of max-combining.
+            active_l = sq(sw.slot_active)
+            loc_slots = sq(sw.slot_local) & active_l
+            contrib_s8 = jnp.where(loc_slots, contrib_loc8, gbits & 1)
+
+            if use_pallas:
+                from ..ops.pallas_scans import run_totals_fused
+
+                n_w, room = run_totals_fused(
+                    contrib_s8,
+                    [
+                        (sq(sw.wb_start), sq(sw.wb_end)),
+                        (sq(sw.room_start), sq(sw.room_end)),
+                    ],
+                    tile_rows=512,
+                )
+            else:
+                n_w = run_totals(
+                    contrib_s8 != 0, sq(sw.wb_start), sq(sw.wb_end)
+                )
+                room = run_totals(
+                    contrib_s8 != 0, sq(sw.room_start), sq(sw.room_end)
+                )
+            draws = jnp.where(
+                sq(sw.slot_is_school), room, (n_w > 0).astype(jnp.int32)
+            )
+            active = sq(sw.slot_active)
+            p_s = _exposure_p(
+                d.exposure_chance, d.mask_effectiveness, state.mask_status,
+                sq(sw.slot_mask_compliant), on_bus_s1,
+                cfg.reference_mask_semantics,
+            )
+            q_single = binomial_at_least_one(p_s, trunc(n_w))
+            gate = active & (at_work_s1 | sq(sw.slot_same_oa))
+            q_work = jnp.where(
+                gate,
+                -jnp.expm1(
+                    draws.astype(jnp.float32) * jnp.log1p(-q_single)
+                ),
+                0.0,
+            )
+            u_s = hash_uniform(
+                seed_w, sq(sw.slot_ws_index).astype(jnp.uint32)
+            )
+            cand = u_s < q_work
+            h_cand = block_hierarchy(cand, block=128)
+            unsort = sq(sw.unsort_rank)
+            slot_local_l = sq(sw.slot_local)
+            slot_oa_l = sq(sw.slot_oa)
+
+            def h_round(c):
+                done, lane_cit, gh_lane, oa = c
+                pos, live, _ = compact_from_hierarchy(
+                    h_cand, K_SL, offset=done, n=W, sb=128
+                )
+                posw = jnp.minimum(pos, W - 1)
+                is_loc = jnp.take(slot_local_l, posw) & live
+                cit = jnp.take(unsort, posw)
+                fb_local = jnp.take(fwd_ext, jnp.minimum(cit, S))
+                fb = jnp.where(is_loc, fb_local, jnp.take(gbits, posw))
+                hitk = ((fb & 2) != 0) & live
+                fw = hitk & ((fb & 4) == 0)
+                lane_cit = lane_cit.at[
+                    jnp.where(hitk & is_loc & (cit < S), cit, S)
+                ].set(True, mode="drop")
+                gh_lane = gh_lane.at[
+                    jnp.where(hitk & ~is_loc, posw, W)
+                ].set(jnp.int8(1), mode="drop")
+                if record_oa:
+                    ids = jnp.take(slot_oa_l, posw, mode="clip")
+                    oa = oa.at[jnp.where(fw, ids, n_oa_out)].add(
+                        1, mode="drop"
+                    )
+                return (
+                    done + jnp.sum(live.astype(jnp.int32)),
+                    lane_cit, gh_lane, oa,
+                )
+
+            _, hit_cit, gh_lane, oa_work = jax.lax.while_loop(
+                lambda c: c[0] < h_cand[2],
+                h_round,
+                (
+                    jnp.int32(0),
+                    jnp.zeros((S,), bool),
+                    jnp.zeros((W,), jnp.int8),
+                    jnp.zeros((n_oa_out,), jnp.int32),
+                ),
+            )
+            # ghost hits back (identical reverse a2a to the sorted branch)
+            gh_ext = jnp.concatenate(
+                [gh_lane, jnp.zeros((1,), jnp.int8)]
+            )
+            back = jax.lax.all_to_all(
+                jnp.take(gh_ext, rsp).reshape(n_dev, G),
+                AXIS, split_axis=0, concat_axis=0,
+            )
+            hit_work = (
+                hit_cit.astype(jnp.int8)
+                .at[sq(sw.out_ghost_src).reshape(-1)]
+                .max(back.reshape(-1), mode="drop")
+            ) != 0
+            return hit_work, oa_work
+
+        bound_w_sh = max(1, min(cfg.sortless_slots, S)) * max(
+            1, cfg.sortless_max_rounds
+        )
+        sel_w_sh = jnp.where(
+            work_pred,
+            jnp.where(tot_c_sh > bound_w_sh, 1, 2),
+            0,
+        ).astype(jnp.int32)
+        hit_work, oa_work = jax.lax.switch(
+            sel_w_sh,
+            [_work_zeros_sh, work_side, work_side_sl],
+            fwd6,
+        )
+    else:
+        hit_work, oa_work = jax.lax.cond(
+            work_pred,
+            work_side,
+            _work_zeros_sh,
+            fwd6,
+        )
 
     # 8. bus side: riders live on their home shard; the whole shuffle +
     #    chunk + draw machinery is local (ops/segments.py::bus_hits).
@@ -461,9 +687,109 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
             sq(sw.rider_route), rl, cfg.bus_capacity, p_fn, S,
         )[0]
 
-    hit_bus = jax.lax.cond(
-        bus_pred, bus_side, lambda _: jnp.zeros((S,), bool), fwd6
+    sd_sh = cfg.use_sortless_sharded
+    if sd_sh is None:
+        sd_sh = False
+    sortless_bus_sh = (
+        bool(sd_sh)
+        and use_fused
+        and tot_ib_sh is not None
+        and rider_statics is not None
+        and sw.rpos_local is not None
+        and sw.n_riders > 0
     )
+    if sortless_bus_sh:
+        # Sortless sharded bus (riders are fully shard-local, so this is
+        # the dense fastpath lever verbatim): on moving rider-light hours
+        # skip the citizen->rider permutation sort — on_bus from the
+        # static per-shard rider schedule, the few infected riders
+        # scatter through rpos_local, susceptibility gates the compacted
+        # post-draw candidates, hits scatter straight into the (S,) lane.
+        # Bitwise the sorted branch's hit set (pad slots masked by
+        # rider_valid so the shuffle-sort layout is identical); candidate
+        # overflow falls back to the sorted branch.
+        ws_r_sh, we_r_sh, rider_valid = rider_statics
+        R_sl = rl.shape[0]
+        k_bt_sh = (
+            min(16384, R_sl)
+            if cfg.debug_bus_hit_slots is None
+            else max(1, min(cfg.debug_bus_hit_slots, R_sl))
+        )
+
+        def bus_side_sl(fwd):
+            from ..ops.segments import bus_hits_sortless
+            from ..ops.sparse import block_hierarchy, compact_from_hierarchy
+
+            K_SL = max(1, min(cfg.sortless_slots, S))
+            inf_onbus = (fwd & 24) == 24
+            h_ib = block_hierarchy(inf_onbus, block=128)
+
+            def i_round(c):
+                done, lane = c
+                pos, live, _ = compact_from_hierarchy(
+                    h_ib, K_SL, offset=done, n=S, sb=128
+                )
+                r_idx = jnp.take(
+                    sq(sw.rpos_local), jnp.minimum(pos, S - 1)
+                )
+                lane = lane.at[jnp.where(live, r_idx, R_sl)].set(
+                    True, mode="drop"
+                )
+                return done + jnp.sum(live.astype(jnp.int32)), lane
+
+            _, rb_inf = jax.lax.while_loop(
+                lambda c: c[0] < h_ib[2],
+                i_round,
+                (jnp.int32(0), jnp.zeros((R_sl,), bool)),
+            )
+            arm_r = rider_valid & (
+                (h24 == ws_r_sh - 1) | (h24 == we_r_sh - 1)
+            )
+
+            def susc_of_rider(rider_ids):
+                cit = jnp.take(
+                    rl, jnp.minimum(rider_ids, max(R_sl - 1, 0)),
+                    mode="clip",
+                )
+                return (
+                    jnp.take(fwd, jnp.minimum(cit, S - 1), mode="clip") & 2
+                ) != 0
+
+            _, _, live, _, cit_ids, cand_total = bus_hits_sortless(
+                k_bus, k_b, arm_r, rb_inf,
+                sq(sw.rider_compliant),
+                sq(sw.rider_route), rl, cfg.bus_capacity, p_fn,
+                susc_of_rider, max_hits=k_bt_sh,
+            )
+            lane = (
+                jnp.zeros((S,), bool)
+                .at[jnp.where(live & (cit_ids < S), cit_ids, S)]
+                .set(True, mode="drop")
+            )
+            return jax.lax.cond(
+                cand_total <= k_bt_sh,
+                lambda _: lane,
+                bus_side,
+                fwd,
+            )
+
+        bound_b_sh = max(1, min(cfg.sortless_slots, S)) * max(
+            1, cfg.sortless_max_rounds
+        )
+        sel_b_sh = jnp.where(
+            bus_pred,
+            jnp.where(move & (tot_ib_sh <= bound_b_sh), 2, 1),
+            0,
+        ).astype(jnp.int32)
+        hit_bus = jax.lax.switch(
+            sel_b_sh,
+            [lambda _: jnp.zeros((S,), bool), bus_side, bus_side_sl],
+            fwd6,
+        )
+    else:
+        hit_bus = jax.lax.cond(
+            bus_pred, bus_side, lambda _: jnp.zeros((S,), bool), fwd6
+        )
 
     # 9. combine + bookkeeping (the fused kernel already applied hit_home;
     #    the dense re-apply is idempotent, so both branches stay bitwise-
@@ -571,8 +897,8 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
         timer=timer.astype(TIMER_DTYPE),
         **sched_lanes,
         eligible=eligible,
-        at_work_ws=state.at_work_ws,
-        on_bus_ws=state.on_bus_ws,
+        at_work_ws=at_work_s1,
+        on_bus_ws=on_bus_s1,
         status_ws=state.status_ws,
         timer_ws=state.timer_ws,
         status_r=state.status_r,
@@ -598,8 +924,12 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
     return new_state, out
 
 
-def init_sharded_state(world, sw: ShardedWorld, *, seed=0, starting_infected=10):
-    """Global init_state scattered into (n_dev, S) stacked lanes."""
+def init_sharded_state(world, sw: ShardedWorld, *, seed=0,
+                       starting_infected=10, cfg: SimConfig | None = None):
+    """Global init_state scattered into (n_dev, S) stacked lanes.
+
+    ``cfg``: when given and ``use_sortless_sharded`` is on, allocates the
+    slot-space schedule lanes the sortless sharded branches carry."""
     gs = init_state(world, seed=seed, starting_infected=starting_infected)
     lanes = shard_state_arrays(sw, {
         "status": (np.asarray(gs.status), PAD_STATUS),
@@ -611,11 +941,23 @@ def init_sharded_state(world, sw: ShardedWorld, *, seed=0, starting_infected=10)
     })
     # lanes ride flat (n_dev*S,): shard_map splits them into per-shard (S,)
     # blocks and concatenates outputs back symmetrically
+    # Slot-space schedule lanes for the sortless work branch: the slot's
+    # occupant is static, so its at_work/on_bus follow the occupant's
+    # _movement recurrence — carried here in slot space, initialised to
+    # the occupants' initial state (all False at hour 0, matching
+    # init_state).  Empty when the partition predates the slot statics.
+    slot_sched = (
+        sw.slot_ws is not None
+        and cfg is not None
+        and cfg.use_sortless_sharded is not None
+        and bool(cfg.use_sortless_sharded)
+    )
+    n_slot = sw.n_dev * sw.n_slots if slot_sched else 0
     return dataclasses.replace(
         gs,
         **{k: jnp.asarray(v).reshape(-1) for k, v in lanes.items()},
-        at_work_ws=jnp.zeros((0,), bool),
-        on_bus_ws=jnp.zeros((0,), bool),
+        at_work_ws=jnp.zeros((n_slot,), bool),
+        on_bus_ws=jnp.zeros((n_slot,), bool),
         # replicated-order twins don't exist in the sharded formulation
         status_ws=jnp.zeros((0,), jnp.int8),
         timer_ws=jnp.zeros((0,), TIMER_TWIN_DTYPE),
@@ -632,8 +974,17 @@ def make_fast_sharded_runner(sw: ShardedWorld, cfg: SimConfig, mesh: Mesh):
     lane_fields = {
         "status", "timer", "at_work", "on_bus", "bus_to_work", "eligible",
     }
-    # The ws twins and the packed sched lane are always empty (0,) at
-    # chunk boundaries in the sharded formulation (init_sharded_state;
+    if (
+        sw.slot_ws is not None
+        and cfg.use_sortless_sharded is not None
+        and bool(cfg.use_sortless_sharded)
+    ):
+        # (n_dev*W,) slot-space schedule lanes for the sortless sharded
+        # branches (fast_shard_step carries them; repurposed ws-twin
+        # fields).  Off by default — docs/PERF.md negative result.
+        lane_fields = lane_fields | {"at_work_ws", "on_bus_ws"}
+    # The remaining twins and the packed sched lane are always empty (0,)
+    # at chunk boundaries in the sharded formulation (init_sharded_state;
     # chunk packs/unpacks sched internally), so they cross the boundary
     # replicated — a P(AXIS) spec here would make the output state's
     # empties arrive sharded and clash with the pinned jit in_shardings
@@ -658,6 +1009,27 @@ def make_fast_sharded_runner(sw: ShardedWorld, cfg: SimConfig, mesh: Mesh):
         _, use_fused = _use_fused(sw, cfg)
         sq = lambda x: x.reshape(x.shape[1:])
         statics = _shard_citizen_statics(sw_l, sq) if use_fused else None
+        # per-shard rider-order schedule lanes for the sortless bus branch
+        # (loop-invariant: built once per chunk, outside the scan).  Pad
+        # slots carry valid=False so the shuffle-sort layout matches the
+        # sorted branch bitwise.
+        rider_statics = None
+        sd = cfg.use_sortless_sharded
+        if (
+            use_fused
+            and (sd is not None and sd)
+            and sw.rpos_local is not None
+            and sw.n_riders > 0
+        ):
+            rl_c = sq(sw_l.rider_local)
+            S_c = sw.shard_size
+            valid = rl_c < S_c
+            safe = jnp.minimum(rl_c, S_c - 1)
+            rider_statics = (
+                jnp.take(jnp.asarray(sq(sw_l.work_start), jnp.int32), safe),
+                jnp.take(jnp.asarray(sq(sw_l.work_end), jnp.int32), safe),
+                valid,
+            )
         empty_b = jnp.zeros((0,), jnp.bool_)
         if use_fused:
             # scan-internal packed carry: the three schedule bools ride the
@@ -687,6 +1059,7 @@ def make_fast_sharded_runner(sw: ShardedWorld, cfg: SimConfig, mesh: Mesh):
                 sw_l, params, cfg,
                 dataclasses.replace(carry, rng_key=base_key),
                 fused_statics=statics,
+                rider_statics=rider_statics,
             )
             small = jnp.concatenate([
                 out.seirv.astype(jnp.int32),
@@ -759,7 +1132,7 @@ def run_fast_sharded(world, params, cfg: SimConfig, mesh: Mesh, *,
     n_dev = mesh.devices.size
     sw = partition_world(world, n_dev)
     state = init_sharded_state(
-        world, sw, seed=seed, starting_infected=starting_infected
+        world, sw, seed=seed, starting_infected=starting_infected, cfg=cfg
     )
     w_sh = jax.tree.map(
         lambda x: jax.device_put(
@@ -770,6 +1143,12 @@ def run_fast_sharded(world, params, cfg: SimConfig, mesh: Mesh, *,
     lane_fields = {
         "status", "timer", "at_work", "on_bus", "bus_to_work", "eligible",
     }
+    if (
+        sw.slot_ws is not None
+        and cfg.use_sortless_sharded is not None
+        and bool(cfg.use_sortless_sharded)
+    ):
+        lane_fields = lane_fields | {"at_work_ws", "on_bus_ws"}
     state = jax.tree.map(jnp.asarray, state)
     state = dataclasses.replace(
         state,

@@ -93,6 +93,17 @@ class ShardedWorld:
     #: (n_dev, S) int32 global citizen id per padded local position (pad -1);
     #: host-side mapping for state scatter/gather, not used on device.
     global_id: Any = None
+    #: Static slot lanes for the sortless sharded work branch, (n_dev, W):
+    #: the occupying participant's schedule (work start/end hour,
+    #: uses_transport) and work OA.  The slot's at_work/on_bus state
+    #: follows the same _movement recurrence as its occupant (occupancy
+    #: is static), so the sharded engine can carry slot-space schedule
+    #: lanes and skip the forward slot sort on contributor-light moving
+    #: hours.  None on partitions built before the lanes existed.
+    slot_ws: Any = None
+    slot_we: Any = None
+    slot_uses: Any = None
+    slot_oa: Any = None
     #: (n_dev, S) int32 rider-compaction rank per shard: local rider
     #: citizens -> their rider_local slot, everyone else fills the
     #: remaining ranks (a complete permutation of [0, S) per shard).  The
@@ -187,6 +198,14 @@ def partition_world(world: World, n_dev: int,
         wb[part_o] * (world.n_rooms + 2) + rm[part_o], -1, np.int64
     )
     slot_oa = slot_lane(wo[part_o], n_oa, np.int64)
+    # occupant schedule statics for the sortless work branch (pads get the
+    # default 9-17 no-transport schedule; masked by slot_active anyway)
+    ws_all = np.asarray(world.work_start, np.int64)
+    we_all = np.asarray(world.work_end, np.int64)
+    uses_all = np.asarray(world.uses_transport, np.bool_)
+    slot_ws_t = slot_lane(ws_all[part_o], 9, np.int8)
+    slot_we_t = slot_lane(we_all[part_o], 17, np.int8)
+    slot_uses_t = slot_lane(uses_all[part_o], False, np.bool_)
 
     def run_masks(keys):  # per-row runs; pads (-1) isolated by uniqueness
         start = np.ones_like(keys, bool)
@@ -368,6 +387,10 @@ def partition_world(world: World, n_dev: int,
         n_citizens=n,
         global_id=i32(gid),
         rpos_local=i32(rpos_sh),
+        slot_ws=slot_ws_t,
+        slot_we=slot_we_t,
+        slot_uses=slot_uses_t,
+        slot_oa=i32(slot_oa),
     )
 
 

@@ -312,3 +312,71 @@ def test_sharded_fused_kernel_bitwise_matches_xla(n_dev):
     assert results[True][9].max() > 0, "vaccination never fired"
     assert results[True][7].any(), "lockdown never engaged"
     assert seirv[-1, 1] + seirv[-1, 2] > 0 or seirv[-1, 3] > 0, "no dynamics"
+
+
+def test_sortless_sharded_bitwise_matches_sorted():
+    """The opt-in sortless sharded branches (use_sortless_sharded: carried
+    slot-space schedule lanes, contributor drains with ghost-bit merges,
+    deferred susceptibility, sortless local bus) must be bitwise the
+    sorted sharded formulation — including across intervention
+    transitions and with cross-shard ghost workers live.  (Off by
+    default: measured slower on the 1-dev TPU proxy, docs/PERF.md.)"""
+    from epidemicsimulator_tpu.parallel.fastmesh import (
+        init_sharded_state, make_fast_sharded_runner,
+    )
+    from epidemicsimulator_tpu.parallel.mesh import make_mesh
+    from epidemicsimulator_tpu.parallel.partition import (
+        PAD_STATUS, partition_world, shard_state_arrays,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    world = generate_synthetic_world(4000, n_output_areas=12, seed=4)
+    base = Params.covid()
+    params = Params(
+        dataclasses.replace(
+            base.disease, exposure_chance=0.04, exposed_time=24,
+            infected_time=72, vaccination_rate=25,
+        ),
+        dataclasses.replace(
+            base.thresholds, lockdown=0.20, vaccination=0.05,
+            mask_public_transport=0.01, mask_everywhere=0.08,
+        ),
+    ).as_arrays()
+    status0 = np.zeros(world.n_citizens, np.int8)
+    status0[::101] = STATUS_INFECTED
+    mesh = make_mesh(4)
+    sw = partition_world(world, 4)
+    w_sh = jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("pop")))
+        if hasattr(x, "shape") else x,
+        sw,
+    )
+    res = {}
+    for sl in (False, True):
+        cfg = SimConfig(
+            chunk_size=60, max_steps=60, max_vaccinations_per_step=4096,
+            use_fused_citizen=True, use_pallas_scans=False,
+            fused_block_rows=32, use_sortless_sharded=sl,
+        )
+        st = init_sharded_state(world, sw, seed=0, starting_infected=0,
+                                cfg=cfg)
+        lanes = shard_state_arrays(sw, {"status": (status0, PAD_STATUS)})
+        st = dataclasses.replace(
+            st, status=jnp.asarray(lanes["status"]).reshape(-1)
+        )
+        runner = make_fast_sharded_runner(sw, cfg, mesh)
+        fs, outs = runner(w_sh, params, st)
+        res[sl] = (
+            np.asarray(outs.seirv), np.asarray(outs.exposures_per_oa),
+            np.asarray(fs.status), np.asarray(fs.timer),
+            np.asarray(outs.mask_status), np.asarray(outs.lockdown),
+            np.asarray(outs.n_vaccinated_now),
+        )
+    for name, a, b in zip(
+        ("seirv", "oa", "status", "timer", "mask", "lockdown", "n_vax"),
+        res[False], res[True],
+    ):
+        np.testing.assert_array_equal(a, b, err_msg=f"{name} diverged")
+    # the run must have exercised exposures + interventions
+    assert res[True][0][-1, 1] > 0
+    assert res[True][4].max() > 0

@@ -106,12 +106,22 @@ def main():
         wd = world.device_put()
 
     for arm in arms:
-        cfg = SimConfig(max_steps=10**9, chunk_size=args.chunk,
-                        debug_force_gates=GATE_MAP[arm])
-        st = init_sharded_state(world, sw, seed=0, starting_infected=100)
-        runner = make_fast_sharded_runner(sw, cfg, mesh)
-        ms_sh = timed(f"sharded-1dev[{arm}]",
-                      lambda pp, s: runner(w_sh, pp, s), st, p)
+        sortless_arms = (
+            [None] if arm != "ab-sortless" else [False, True]
+        )
+        for sl in sortless_arms:
+            cfg = SimConfig(
+                max_steps=10**9, chunk_size=args.chunk,
+                debug_force_gates=GATE_MAP.get(arm),
+                use_sortless_sharded=sl,
+            )
+            st = init_sharded_state(
+                world, sw, seed=0, starting_infected=100, cfg=cfg
+            )
+            runner = make_fast_sharded_runner(sw, cfg, mesh)
+            label = arm if sl is None else f"sortless={sl}"
+            ms_sh = timed(f"sharded-1dev[{label}]",
+                          lambda pp, s: runner(w_sh, pp, s), st, p)
         if args.profile:
             import glob
 
