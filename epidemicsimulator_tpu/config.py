@@ -369,8 +369,13 @@ class SimConfig:
     #: contributor count fits ``sortless_slots * sortless_max_rounds``;
     #: heavier hours route to the sorted branch via the dispatch switch.
     #: Bitwise-identical to the sorted dense branch (same streams, same
-    #: hit set; tested).  None = auto: on (measured 3.17 -> 2.62 ms/step
-    #: at Y&H bench scale — docs/PERF.md "Dense sortless work").
+    #: hit set; tested).  None = auto: on below 16M citizens (measured
+    #: 3.17 -> 2.62 ms/step at Y&H bench scale), off at >=16M where the
+    #: switch's N-operand copies regress lockdown-heavy windows (9.1 ->
+    #: 17.6 at 63M) and the regime-adaptive dispatcher instead runs this
+    #: executable explicitly for MOVING chunks, where it wins (46.05 vs
+    #: 51.38 — docs/PERF.md "Dispatch rebalanced
+    #: at 63M": dense-sorted lockdown / dense-sortless moving).
     use_sortless_dense: bool | None = None
     #: SHARDED engine only: run the sortless work/bus formulations inside
     #: the shard_map step (carried slot-space schedule lanes, contributor

@@ -222,12 +222,15 @@ def wants_sortless_dense(world: World, cfg: SimConfig, state: SimState) -> bool:
     (that path has its own sortless branch)."""
     sd = cfg.use_sortless_dense
     if sd is None:
-        # Auto: ON.  Measured at Y&H bench scale: 3.17 -> 2.62 ms/step
-        # with bitwise-identical trajectories (docs/PERF.md "Dense
-        # sortless work"); the dispatch switch already routes
-        # contributor-heavy hours to the sorted body, so there is no
-        # known regime where the sorted-only cond wins.
-        sd = True
+        # Auto: ON below 16M (Y&H bench 3.17 -> 2.62 ms/step, bitwise);
+        # OFF at >=16M — the 3-branch switch's extra N-operand copies
+        # alone regressed the 63M lockdown-heavy mixed window 9.1 ->
+        # 17.6 ms/step while the sortless branches never fired there
+        # (contributor counts route to the sorted body).  At scale the
+        # regime-adaptive dispatcher (engine/scan.py) runs the
+        # sortless-dense executable for MOVING chunks explicitly, where
+        # it wins (46.05 vs 51.38 pinned moving — docs/PERF.md).
+        sd = world.n_citizens < 16_000_000
     return (
         bool(sd)
         and wants_fused_citizen(world, cfg)

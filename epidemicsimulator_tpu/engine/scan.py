@@ -63,15 +63,37 @@ def adaptive_sparse_runners(world: World, cfg: SimConfig, state: SimState):
         return None
     import dataclasses as _dc
 
-    from .fastpath import wants_sparse_apply
+    from .fastpath import wants_sortless_dense, wants_sparse_apply
 
     cfg_sparse = _dc.replace(cfg, use_sparse_apply=True)
     if not wants_sparse_apply(world, cfg_sparse, state):
         return None
-    cfg_dense = _dc.replace(cfg, use_sparse_apply=False)
+    # Round 4: the MOVING executable is now the dense apply with its
+    # sortless work/bus branches — it beats the sparse+sortless arm in
+    # the pinned 63M moving window (46.05 vs 51.38 ms/step,
+    # sample_results/uk_moving) — while the LOCKDOWN executable stays the
+    # plain sorted dense apply: with lockdown prevalence the contributor
+    # count routes every hour to the sorted body anyway, and the
+    # 3-branch switch's extra N-operand copies alone regressed the 63M
+    # mixed window 9.1 -> 17.6 ms/step when left on (docs/PERF.md).
+    # All executables are bitwise-identical, so dispatch is free of
+    # semantic risk.
+    cfg_lock = _dc.replace(
+        cfg, use_sparse_apply=False, use_sortless_dense=False
+    )
+    if wants_sortless_dense(
+        world,
+        _dc.replace(cfg, use_sparse_apply=False, use_sortless_dense=True),
+        state,
+    ):
+        cfg_moving = _dc.replace(
+            cfg, use_sparse_apply=False, use_sortless_dense=True
+        )
+    else:
+        cfg_moving = cfg_sparse
     return (
-        make_chunk_runner(world, cfg_dense),
-        make_chunk_runner(world, cfg_sparse),
+        make_chunk_runner(world, cfg_lock),
+        make_chunk_runner(world, cfg_moving),
     )
 
 

@@ -84,7 +84,9 @@ def test_adaptive_dispatch_uses_both_executables(monkeypatch):
             return fn
 
         def wrapped(params, state):
-            used.append(bool(cfg_.use_sparse_apply))
+            # r4 dispatch: moving = dense+sortless, lockdown = dense
+            # sorted — distinguish by the sortless flag
+            used.append(bool(cfg_.use_sortless_dense))
             return fn(params, state)
 
         return wrapped
