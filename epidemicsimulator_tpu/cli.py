@@ -21,6 +21,7 @@ Examples:
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 import os
 import sys
@@ -55,6 +56,15 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-steps", type=int, default=5000)
     p.add_argument("--chunk-size", type=int, default=250)
+    p.add_argument("--calibrate", default=None, metavar="TARGET_JSON",
+                   help="fit a parameter so the epidemic matches a "
+                   "reference-format global_stats.json (packed-ensemble "
+                   "grid refinement; calibrate.py) instead of simulating")
+    p.add_argument("--calibrate-param", default="exposure_chance")
+    p.add_argument("--calibrate-range", default="1e-4,1e-2",
+                   help="lo,hi bracket for the calibrated parameter")
+    p.add_argument("--calibrate-replicates", type=int, default=16)
+    p.add_argument("--calibrate-rounds", type=int, default=2)
     p.add_argument("--devices", type=int, default=None, metavar="N",
                    help="run the population-sharded engine over an N-device "
                    "mesh (0 = every visible device; default: single-device "
@@ -273,6 +283,32 @@ def main(argv=None) -> int:
                 f"There are {connected_components_count(g)} connected groups"
             )
         logging.info("wrote %s", out)
+        return 0
+
+    if args.calibrate:
+        from .calibrate import calibrate, load_target_series
+        from .config import Params, SimConfig
+
+        cfg = SimConfig(max_steps=args.max_steps, chunk_size=args.chunk_size)
+        base = (
+            Params.from_json(args.params_file)
+            if args.params_file else Params.covid()
+        )
+        target = load_target_series(args.calibrate)
+        lo, hi = (float(x) for x in args.calibrate_range.split(","))
+        result = calibrate(
+            world, base, cfg, target,
+            param=args.calibrate_param, bounds=(lo, hi),
+            replicates=args.calibrate_replicates,
+            rounds=args.calibrate_rounds, seed=args.seed,
+        )
+        out_path = args.output_name or f"{args.area}_calibration.json"
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+        print(
+            f"calibrated {result['param']} = {result['value']:.6g} "
+            f"(score {result['score']['score']:.4f}); wrote {out_path}"
+        )
         return 0
 
     if args.simulate:
