@@ -344,11 +344,12 @@ class SimConfig:
     #: ms/step mixed regime) but loses lockdown hours (6.0 -> 11.1 — the
     #: K-scatters cost ~5 ms/step of full-lane operand copies even at
     #: zero hits), and at Y&H dense wins both regimes.  None = auto:
-    #: dense here, with ``engine.scan.run`` dispatching per chunk between
-    #: the dense and sparse executables for populations >=
-    #: ``scan.ADAPTIVE_SPARSE_MIN_N`` (lockdown -> dense, moving ->
-    #: sparse; docs/PERF.md).  Trajectories are bitwise-identical either
-    #: way, so dispatch never changes results.
+    #: dense here, with ``engine.scan.run`` dispatching per chunk for
+    #: populations >= ``scan.ADAPTIVE_SPARSE_MIN_N`` — since round 4:
+    #: lockdown -> sorted dense, moving -> dense+sortless (which beat the
+    #: sparse arm's moving number, docs/PERF.md "Dispatch rebalanced at
+    #: 63M").  Trajectories are bitwise-identical either way, so dispatch
+    #: never changes results.
     use_sparse_apply: bool | None = None
     #: Hits applied per scatter round of the sparse apply path.
     apply_sparse_slots: int = 8192

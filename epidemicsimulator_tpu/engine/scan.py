@@ -46,12 +46,13 @@ def adaptive_sparse_runners(world: World, cfg: SimConfig, state: SimState):
     """``(fn_lockdown, fn_moving)`` chunk runners for regime-adaptive
     dispatch, or ``None`` when a single executable is the right answer.
 
-    The sparse apply (SimConfig.use_sparse_apply) wins moving hours at UK
-    scale (63M mixed regime 112 -> 73 ms/step) but loses lockdown hours
-    (6.0 -> 11.1 — its K-bounded scatters pay full-lane operand copies even
-    at zero hits).  Both formulations are bitwise-identical, so :func:`run`
-    picks per chunk off the host-visible lockdown flag it already
-    materialises.  Only applies when ``cfg.use_sparse_apply`` is None
+    Historical shape (r2-r3): sparse apply for moving chunks (63M mixed
+    112 -> 73 ms/step), dense for lockdown.  Round 4: the dense apply's
+    own sortless branches beat the sparse arm on moving hours too, so the
+    moving executable is now dense+sortless and lockdown stays sorted
+    dense (see the round-4 comment below).  All executables are
+    bitwise-identical, so :func:`run` picks per chunk off the
+    host-visible lockdown flag it already materialises.  Only applies when ``cfg.use_sparse_apply`` is None
     (explicit settings pin one executable) and the sparse path is actually
     eligible (fused kernel, non-replicated engine).  Runners compile
     lazily, so a run that never leaves one regime never builds the other

@@ -1,10 +1,12 @@
 """Sharded fast path on a 1-device mesh vs the single-device fast path.
 
-The one measurable single-chip proxy for multi-chip scaling (VERDICT r2
-next #2): the shard_map path must run the SAME engine as fastpath, so on a
-1-device mesh its ms/step should land within ~15% of the fastpath headline
-(3.8-3.9 ms/step at Y&H scale) — the residual being the ghost all_to_all
-no-ops, psum plumbing and the (S,) pad/slice at the kernel boundary.
+The one measurable single-chip proxy for multi-chip scaling.  The r2-era
+"within ~15%" expectation assumed the residual was plumbing; the measured
+decomposition (--gates arms; sample_results/fastmesh_1dev, docs/PERF.md
+"Sharded 1-dev decomposition") shows ~1.1 ms/step of it is the sharded
+formulation itself (collectives, slot machinery, ghost exchanges), which
+amortises on real multi-chip meshes.  Current floor: 5.54 ms/step on the
+1-dev mesh vs the 2.2-2.9 fastpath window.
 
 Usage: python tools/probe_fastmesh_1dev.py [--citizens 3457142] [--chunk 250]
 """
