@@ -410,8 +410,13 @@ class SimConfig:
     sortless_slots: int = 8192
     #: Sorted-formulation routing bound for the sortless transports, in
     #: units of ``sortless_slots`` (the drains stay exact at any count;
-    #: past this many rounds of work the sorts are simply cheaper).
-    sortless_max_rounds: int = 16
+    #: past this many rounds of work the sorts are simply cheaper).  The
+    #: economics are SCALE-dependent — a drain round costs ~the same at
+    #: any N while the sort it replaces grows with N — so None = auto:
+    #: 16 below 16M citizens, 64 at >=16M (measured at 63M high
+    #: prevalence: the wider bound takes the late-epidemic moving hours
+    #: from 72.95 to 60.79 ms/step, bitwise — docs/PERF.md).
+    sortless_max_rounds: int | None = None
     #: Rows per grid step of the fused citizen kernel ((rows, 128) tiles).
     #: 1024 measured best at 63M (9.4 -> 8.8 ms/step lean; 2048+ exceeds
     #: VMEM and fails Mosaic compile) and is neutral at Y&H (docs/PERF.md).

@@ -240,6 +240,17 @@ def wants_sortless_dense(world: World, cfg: SimConfig, state: SimState) -> bool:
     )
 
 
+def sortless_rounds(n_citizens: int, cfg: SimConfig) -> int:
+    """Resolved ``sortless_max_rounds`` (None = auto: 16 below 16M, 64 at
+    >=16M — a drain round costs ~the same at any N while the sort it
+    replaces grows with N; measured at 63M high prevalence 72.95 -> 60.79
+    ms/step, docs/PERF.md)."""
+    r = cfg.sortless_max_rounds
+    if r is None:
+        r = 64 if n_citizens >= 16_000_000 else 16
+    return max(1, int(r))
+
+
 def make_rider_statics(world: World):
     """Rider-order schedule lanes for the replicated bus path — one-time
     gathers, built outside the scan so they are loop-invariant."""
@@ -990,8 +1001,8 @@ def fast_step(
             # so the partials lane is always available here.
             assert use_fused
             tot_c_free = jnp.sum(partials[:, 5])
-            bound_w = max(1, min(cfg.sortless_slots, n)) * max(
-                1, cfg.sortless_max_rounds
+            bound_w = max(1, min(cfg.sortless_slots, n)) * sortless_rounds(
+                n, cfg
             )
             sel_w = jnp.where(
                 work_pred,
@@ -1032,8 +1043,8 @@ def fast_step(
                 return lane, oa
 
             tot_c_free_d = jnp.sum(partials[:, 5])
-            bound_wd = max(1, min(cfg.sortless_slots, n)) * max(
-                1, cfg.sortless_max_rounds
+            bound_wd = max(1, min(cfg.sortless_slots, n)) * sortless_rounds(
+                n, cfg
             )
             sel_wd = jnp.where(
                 work_pred,
@@ -1248,8 +1259,8 @@ def fast_step(
             # sortless_bus implies sparse_apply implies the fused kernel.
             assert use_fused
             tot_ib = jnp.sum(partials[:, 6])
-            bound_b = max(1, min(cfg.sortless_slots, n)) * max(
-                1, cfg.sortless_max_rounds
+            bound_b = max(1, min(cfg.sortless_slots, n)) * sortless_rounds(
+                n, cfg
             )
             sel_b = jnp.where(
                 bus_pred,
@@ -1355,8 +1366,8 @@ def fast_step(
 
             assert use_fused
             tot_ib_d = jnp.sum(partials[:, 6])
-            bound_bd = max(1, min(cfg.sortless_slots, n)) * max(
-                1, cfg.sortless_max_rounds
+            bound_bd = max(1, min(cfg.sortless_slots, n)) * sortless_rounds(
+                n, cfg
             )
             sel_bd = jnp.where(
                 bus_pred,

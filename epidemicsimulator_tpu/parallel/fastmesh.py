@@ -633,8 +633,10 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
             ) != 0
             return hit_work, oa_work
 
-        bound_w_sh = max(1, min(cfg.sortless_slots, S)) * max(
-            1, cfg.sortless_max_rounds
+        from ..engine.fastpath import sortless_rounds
+
+        bound_w_sh = max(1, min(cfg.sortless_slots, S)) * sortless_rounds(
+            S, cfg
         )
         sel_w_sh = jnp.where(
             work_pred,
@@ -773,9 +775,9 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
                 fwd,
             )
 
-        bound_b_sh = max(1, min(cfg.sortless_slots, S)) * max(
-            1, cfg.sortless_max_rounds
-        )
+        from ..engine.fastpath import sortless_rounds as _slr
+
+        bound_b_sh = max(1, min(cfg.sortless_slots, S)) * _slr(S, cfg)
         sel_b_sh = jnp.where(
             bus_pred,
             jnp.where(move & (tot_ib_sh <= bound_b_sh), 2, 1),

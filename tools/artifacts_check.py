@@ -95,14 +95,21 @@ CHECKS = [
      r"`use_sortless_work=False`, the r2 formulation\) \| \| ([\d.]+) \|",
      "sample_results/uk_moving/summary.json",
      lambda a: a["arms"]["sparse_sorted"]["ms_per_step"], 0.0),
+    ("docs/PERF.md",
+     r"the dispatcher's moving executable since r4\*\* \| \*\*([\d.]+)\*\* \|",
+     "sample_results/uk_moving/summary.json",
+     lambda a: a["arms"]["dense"]["ms_per_step"], 0.0),
     (None, None,
      "sample_results/uk_moving/summary.json",
      lambda a: 1.0 if (
          a["bitwise_identical_trajectories"]
          and a["arms"]["sparse_sortless"]["ms_per_step"]
          < a["arms"]["sparse_sorted"]["ms_per_step"]
+         and a["arms"]["dense"]["ms_per_step"]
+         < a["arms"]["sparse_sortless"]["ms_per_step"]
      ) else 0.0,
-     ("sortless default beats sorted at 63M with bitwise trajectories",
+     ("moving executable ordering holds (dense+sortless < sparse+sortless"
+      " < sorted) with bitwise trajectories",
       1.0)),
     # --- York pipeline envelope gate (sample_results/york_pipeline) --------
     ("docs/PERF.md",

@@ -25,7 +25,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        flags + " --xla_force_host_platform_device_count=16"
     ).strip()
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -65,7 +65,7 @@ def main():
     print(f"world built host-side in {t_build:.1f}s "
           f"(rss {rss_gb():.1f} GB)", flush=True)
 
-    sw8 = None
+    kept = {}
     for d in [int(x) for x in args.devices.split(",")]:
         st: dict = {}
         t0 = time.perf_counter()
@@ -74,39 +74,41 @@ def main():
         st["rss_gb"] = round(rss_gb(), 1)
         summary["partitions"][str(d)] = st
         print(f"partition d={d}: {st}", flush=True)
-        if d == 8:
-            sw8 = sw
+        if d in (8, 16):
+            kept[d] = sw
         else:
             del sw
 
-    if args.run_steps and sw8 is not None:
+    for d, sw_d in kept.items():
+        if not args.run_steps:
+            break
         from epidemicsimulator_tpu.parallel.fastmesh import (
             init_sharded_state, make_fast_sharded_runner,
         )
         from epidemicsimulator_tpu.parallel.mesh import make_mesh
 
-        assert len(jax.devices()) >= 8, jax.devices()
-        mesh = make_mesh(8)
+        assert len(jax.devices()) >= d, jax.devices()
+        mesh = make_mesh(d)
         cfg = SimConfig(max_steps=args.run_steps,
                         chunk_size=args.run_steps,
                         record_exposures_per_oa=False)
         t0 = time.perf_counter()
-        state = init_sharded_state(world, sw8, seed=0,
-                                   starting_infected=360_000)
-        runner = make_fast_sharded_runner(sw8, cfg, mesh)
+        state = init_sharded_state(world, sw_d, seed=0,
+                                   starting_infected=360_000, cfg=cfg)
+        runner = make_fast_sharded_runner(sw_d, cfg, mesh)
         params = Params.covid().as_arrays()
-        state, out = runner(sw8, params, state)
+        state, out = runner(sw_d, params, state)
         seirv = np.asarray(out.seirv)
         t_run = time.perf_counter() - t0
         assert int(seirv[-1].sum()) == args.n, seirv[-1]
-        summary["virtual_8dev_chunk"] = {
+        summary[f"virtual_{d}dev_chunk"] = {
             "steps": args.run_steps,
             "compile_plus_run_s": round(t_run, 1),
             "final_seirv": seirv[-1].tolist(),
             "census_conserved": True,
             "rss_gb": round(rss_gb(), 1),
         }
-        print(f"virtual 8-dev chunk ({args.run_steps} steps) in "
+        print(f"virtual {d}-dev chunk ({args.run_steps} steps) in "
               f"{t_run:.1f}s; final {seirv[-1].tolist()}", flush=True)
 
     os.makedirs(args.out, exist_ok=True)
