@@ -112,3 +112,16 @@ def test_adaptive_dispatch_disabled_below_floor(monkeypatch):
     ) is None
     # and with no explicit setting, the adaptive pair is produced above floor
     assert scan.adaptive_sparse_runners(world, _cfg(), st) is not None
+
+
+def test_sortless_rounds_resolution():
+    """sortless_max_rounds auto is scale-aware: 16 below 16M citizens, 64
+    at >=16M (drain rounds cost ~the same at any N while the sort they
+    replace grows with N — docs/PERF.md); explicit values pass through."""
+    from epidemicsimulator_tpu.engine.fastpath import sortless_rounds
+
+    assert sortless_rounds(3_457_142, SimConfig()) == 16
+    assert sortless_rounds(63_000_000, SimConfig()) == 64
+    assert sortless_rounds(63_000_000,
+                           SimConfig(sortless_max_rounds=4)) == 4
+    assert sortless_rounds(1000, SimConfig(sortless_max_rounds=0)) == 1
