@@ -111,6 +111,20 @@ CHECKS = [
      ("moving executable ordering holds (dense+sortless < sparse+sortless"
       " < sorted) with bitwise trajectories",
       1.0)),
+    # --- full-UK epidemic capability artifact ------------------------------
+    ("README.md",
+     r"UK\s+epidemic \(peak ([\d,]+) infected",
+     "sample_results/full_uk_epidemic/summary.json",
+     lambda a: a["peak_infected"], 0.0),
+    ("README.md",
+     r"every intervention live\) simulates in\s+([\d.]+) s\*\*",
+     "sample_results/full_uk_epidemic/summary.json",
+     lambda a: a["simulate_s"], 0.0),
+    (None, None,
+     "sample_results/full_uk_epidemic/summary.json",
+     lambda a: 1.0 if (a["steps_run"] == 5000
+                       and a["n_citizens"] == 63_000_000) else 0.0,
+     ("full-UK epidemic ran the complete 5000-hour horizon at 63M", 1.0)),
     # --- York pipeline envelope gate (sample_results/york_pipeline) --------
     ("docs/PERF.md",
      r"peak ([\d,]+) vs canonical 89,170",
