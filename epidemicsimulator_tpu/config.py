@@ -344,12 +344,11 @@ class SimConfig:
     #: ms/step mixed regime) but loses lockdown hours (6.0 -> 11.1 — the
     #: K-scatters cost ~5 ms/step of full-lane operand copies even at
     #: zero hits), and at Y&H dense wins both regimes.  None = auto:
-    #: dense here, with ``engine.scan.run`` dispatching per chunk for
-    #: populations >= ``scan.ADAPTIVE_SPARSE_MIN_N`` — since round 4:
-    #: lockdown -> sorted dense, moving -> dense+sortless (which beat the
-    #: sparse arm's moving number, docs/PERF.md "Dispatch rebalanced at
-    #: 63M").  Trajectories are bitwise-identical either way, so dispatch
-    #: never changes results.
+    #: dense here.  The regime-adaptive dense/sparse dispatch of rounds
+    #: 2-3 is retired while the dense sortless branches are active (they
+    #: win every measured regime — docs/PERF.md "dispatch retired,
+    #: second attempt"); it remains as a legacy pair when sortless-dense
+    #: is unavailable.  Trajectories are bitwise-identical either way.
     use_sparse_apply: bool | None = None
     #: Hits applied per scatter round of the sparse apply path.
     apply_sparse_slots: int = 8192
@@ -370,13 +369,12 @@ class SimConfig:
     #: contributor count fits ``sortless_slots * sortless_max_rounds``;
     #: heavier hours route to the sorted branch via the dispatch switch.
     #: Bitwise-identical to the sorted dense branch (same streams, same
-    #: hit set; tested).  None = auto: on below 16M citizens (measured
-    #: 3.17 -> 2.62 ms/step at Y&H bench scale), off at >=16M where the
-    #: switch's N-operand copies regress lockdown-heavy windows (9.1 ->
-    #: 17.6 at 63M) and the regime-adaptive dispatcher instead runs this
-    #: executable explicitly for MOVING chunks, where it wins (46.05 vs
-    #: 51.38 — docs/PERF.md "Dispatch rebalanced
-    #: at 63M": dense-sorted lockdown / dense-sortless moving).
+    #: hit set; tested).  None = auto: ON at every scale (Y&H bench
+    #: 3.17 -> 2.62 ms/step; 63M moving 23.91 — the fastest executable
+    #: of any formulation — and 63M lockdown 9.04 vs 9.15 sorted, all
+    #: measured AFTER the rider-statics hoist; docs/PERF.md "dispatch
+    #: retired, second attempt").  When active, engine.scan retires the
+    #: regime-adaptive dispatch: one executable serves both regimes.
     use_sortless_dense: bool | None = None
     #: SHARDED engine only: run the sortless work/bus formulations inside
     #: the shard_map step (carried slot-space schedule lanes, contributor

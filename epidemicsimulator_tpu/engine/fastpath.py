@@ -222,15 +222,16 @@ def wants_sortless_dense(world: World, cfg: SimConfig, state: SimState) -> bool:
     (that path has its own sortless branch)."""
     sd = cfg.use_sortless_dense
     if sd is None:
-        # Auto: ON below 16M (Y&H bench 3.17 -> 2.62 ms/step, bitwise);
-        # OFF at >=16M — the 3-branch switch's extra N-operand copies
-        # alone regressed the 63M lockdown-heavy mixed window 9.1 ->
-        # 17.6 ms/step while the sortless branches never fired there
-        # (contributor counts route to the sorted body).  At scale the
-        # regime-adaptive dispatcher (engine/scan.py) runs the
-        # sortless-dense executable for MOVING chunks explicitly, where
-        # it wins (46.05 vs 51.38 pinned moving — docs/PERF.md).
-        sd = world.n_citizens < 16_000_000
+        # Auto: ON at every scale.  Y&H bench 3.17 -> 2.62 ms/step; 63M
+        # pinned moving 23.91 ms/step (the best executable of any
+        # formulation) and 63M lockdown window 9.04 vs 9.15 sorted — all
+        # bitwise.  An earlier >=16M gate reacted to a 9.1 -> 17.6
+        # "switch overhead" regression that was actually the per-chunk
+        # rider-statics gathers since hoisted to runner build
+        # (docs/PERF.md "rider-statics hoist"); with the hoist the
+        # sortless executable wins or ties every measured regime, so the
+        # regime-adaptive dispatch is retired (engine/scan.py).
+        sd = True
     return (
         bool(sd)
         and wants_fused_citizen(world, cfg)

@@ -66,35 +66,27 @@ def adaptive_sparse_runners(world: World, cfg: SimConfig, state: SimState):
 
     from .fastpath import wants_sortless_dense, wants_sparse_apply
 
+    # Round 4 final: with the rider-statics hoist, the dense apply's
+    # sortless executable wins or ties EVERY measured 63M regime (moving
+    # 23.91 ms/step vs sparse+sortless 29.61; lockdown 9.04 vs 9.15
+    # sorted — docs/PERF.md "dispatch retired, second attempt"), so when
+    # it is active one executable serves both regimes and the dispatch
+    # is retired.  (The first retirement attempt regressed 9.1 -> 17.6;
+    # that was the per-chunk rider-statics gathers, not the dispatch.)
+    if wants_sortless_dense(
+        world, _dc.replace(cfg, use_sparse_apply=False), state
+    ):
+        return None
     cfg_sparse = _dc.replace(cfg, use_sparse_apply=True)
     if not wants_sparse_apply(world, cfg_sparse, state):
         return None
-    # Round 4: the MOVING executable is now the dense apply with its
-    # sortless work/bus branches — it beats the sparse+sortless arm in
-    # the pinned 63M moving window (46.05 vs 51.38 ms/step,
-    # sample_results/uk_moving) — while the LOCKDOWN executable stays the
-    # plain sorted dense apply: with lockdown prevalence the contributor
-    # count routes every hour to the sorted body anyway, and the
-    # 3-branch switch's extra N-operand copies alone regressed the 63M
-    # mixed window 9.1 -> 17.6 ms/step when left on (docs/PERF.md).
-    # All executables are bitwise-identical, so dispatch is free of
-    # semantic risk.
-    cfg_lock = _dc.replace(
-        cfg, use_sparse_apply=False, use_sortless_dense=False
-    )
-    if wants_sortless_dense(
-        world,
-        _dc.replace(cfg, use_sparse_apply=False, use_sortless_dense=True),
-        state,
-    ):
-        cfg_moving = _dc.replace(
-            cfg, use_sparse_apply=False, use_sortless_dense=True
-        )
-    else:
-        cfg_moving = cfg_sparse
+    # Legacy pair for worlds/configs where sortless-dense is unavailable
+    # or explicitly off: sparse for moving, dense for lockdown (the
+    # r2-r3 shape).
+    cfg_lock = _dc.replace(cfg, use_sparse_apply=False)
     return (
         make_chunk_runner(world, cfg_lock),
-        make_chunk_runner(world, cfg_moving),
+        make_chunk_runner(world, cfg_sparse),
     )
 
 
@@ -112,7 +104,7 @@ def make_chunk_runner(world: World, cfg: SimConfig):
     jitted = _RUNNER_CACHE.get(key)
     if jitted is None:
 
-        def chunk(world, params: Params, state: SimState):
+        def chunk(world, params: Params, state: SimState, rider_statics):
             # Prebuild the fused-kernel static lanes once per chunk so the
             # pad/reshape passes are loop-invariant (not per step).
             from .fastpath import (
@@ -143,15 +135,14 @@ def make_chunk_runner(world: World, cfg: SimConfig):
                 packed = wants_packed_sched(world, cfg)
                 if packed:
                     state = to_2d_carry(pack_sched(state))
-            rider_statics = None
-            from .fastpath import wants_sortless_dense, wants_sortless_work
-
-            if (
-                wants_replicated(world, cfg, state)
-                or wants_sortless_work(world, cfg, state)
-                or wants_sortless_dense(world, cfg, state)
-            ):
-                rider_statics = make_rider_statics(world)
+            # rider_statics arrive as a jit ARGUMENT precomputed at
+            # runner-build time — building them here (traced) re-ran the
+            # two N-sized gathers on EVERY CHUNK (63M x 7ns x 2 ~ 0.9 s
+            # per chunk: ~37 ms/step at run_full_uk's chunk=24, ~9 at the
+            # uk_moving probe's chunk=100 — docs/PERF.md "rider-statics
+            # hoist").  () = not wanted by this cfg.
+            if rider_statics == ():
+                rider_statics = None
 
             gate_overrides = None
             if cfg.debug_force_gates is not None:
@@ -228,12 +219,40 @@ def make_chunk_runner(world: World, cfg: SimConfig):
         # provenances share the good executable (docs/PERF.md).
         s = jax.sharding.SingleDeviceSharding(jax.devices()[0])
         jitted = jax.jit(
-            chunk, donate_argnums=(2,), in_shardings=(s, s, s)
+            chunk, donate_argnums=(2,), in_shardings=(s, s, s, s)
         )
         _RUNNER_CACHE[key] = jitted
 
+    # Precompute the rider-order schedule statics ONCE per runner (two
+    # eager N-sized gathers) instead of per traced chunk.  The wants_*
+    # predicates read only static facts unless use_replicated_orders is
+    # explicitly on (the replicated engine needs the live state twins to
+    # decide — resolved lazily per call below, and its rider statics are
+    # the same arrays either way).
+    from .fastpath import (
+        make_rider_statics,
+        wants_replicated,
+        wants_sortless_dense,
+        wants_sortless_work,
+    )
+
+    class _StaticProbe:
+        status_ws = None
+
+    _probe = _StaticProbe()
+    rs = ()
+    if (
+        wants_sortless_work(world, cfg, _probe)
+        or wants_sortless_dense(world, cfg, _probe)
+        or cfg.use_replicated_orders
+    ):
+        rs = make_rider_statics(world)
+
     def run_chunk(params, state):
-        return jitted(world, params, state)
+        rs_l = rs
+        if rs_l == () and wants_replicated(world, cfg, state):
+            rs_l = make_rider_statics(world)
+        return jitted(world, params, state, rs_l)
 
     return run_chunk
 

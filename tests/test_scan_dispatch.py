@@ -70,10 +70,13 @@ def test_adaptive_dispatch_matches_fixed(monkeypatch):
 
 
 def test_adaptive_dispatch_uses_both_executables(monkeypatch):
+    """With sortless-dense explicitly OFF the legacy dense/sparse pair
+    still dispatches across regimes (the retired-by-default machinery
+    stays testable)."""
     monkeypatch.setattr(scan, "ADAPTIVE_SPARSE_MIN_N", 1)
     world = _world()
     st = init_state(world, seed=0, starting_infected=20)
-    cfg = _cfg()
+    cfg = _cfg(use_sortless_dense=False)
 
     used = []
     real = scan.make_chunk_runner
@@ -84,9 +87,7 @@ def test_adaptive_dispatch_uses_both_executables(monkeypatch):
             return fn
 
         def wrapped(params, state):
-            # r4 dispatch: moving = dense+sortless, lockdown = dense
-            # sorted — distinguish by the sortless flag
-            used.append(bool(cfg_.use_sortless_dense))
+            used.append(bool(cfg_.use_sparse_apply))
             return fn(params, state)
 
         return wrapped
@@ -96,22 +97,25 @@ def test_adaptive_dispatch_uses_both_executables(monkeypatch):
     assert True in used and False in used, used
 
 
-def test_adaptive_dispatch_disabled_below_floor(monkeypatch):
+def test_adaptive_dispatch_retired_and_legacy(monkeypatch):
     world = _world()
     st = init_state(world, seed=0, starting_infected=20)
     assert scan.adaptive_sparse_runners(world, _cfg(), st) is None
-    # explicit settings pin one executable even above the floor: drop the
-    # floor below this world's size so the explicit-setting early return is
-    # the branch actually exercised (not the population-floor one).
     monkeypatch.setattr(scan, "ADAPTIVE_SPARSE_MIN_N", 1)
+    # r4 final: with sortless-dense active (the default) ONE executable
+    # serves both regimes — the dispatch is retired
+    assert scan.adaptive_sparse_runners(world, _cfg(), st) is None
+    # explicit settings pin one executable
     assert scan.adaptive_sparse_runners(
         world, _cfg(use_sparse_apply=True), st
     ) is None
     assert scan.adaptive_sparse_runners(
         world, _cfg(use_sparse_apply=False), st
     ) is None
-    # and with no explicit setting, the adaptive pair is produced above floor
-    assert scan.adaptive_sparse_runners(world, _cfg(), st) is not None
+    # the legacy pair remains when sortless-dense is explicitly off
+    assert scan.adaptive_sparse_runners(
+        world, _cfg(use_sortless_dense=False), st
+    ) is not None
 
 
 def test_sortless_rounds_resolution():

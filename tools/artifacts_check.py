@@ -88,27 +88,26 @@ CHECKS = [
                 1.0)),
     # --- 63M moving-window sortless measurement (sample_results/uk_moving) -
     ("docs/PERF.md",
-     r"the dispatcher's moving executable \| \*\*([\d.]+)\*\* \|",
+     r"THE default executable \(dispatch retired\)\*\* \| \*\*([\d.]+)\*\* \|",
+     "sample_results/uk_moving/summary.json",
+     lambda a: a["arms"]["dense"]["ms_per_step"], 0.0),
+    ("docs/PERF.md",
+     r"`use_sortless_work` auto ≥16M\) \| opt-in \| ([\d.]+) \|",
      "sample_results/uk_moving/summary.json",
      lambda a: a["arms"]["sparse_sortless"]["ms_per_step"], 0.0),
     ("docs/PERF.md",
      r"`use_sortless_work=False`, the r2 formulation\) \| \| ([\d.]+) \|",
      "sample_results/uk_moving/summary.json",
      lambda a: a["arms"]["sparse_sorted"]["ms_per_step"], 0.0),
-    ("docs/PERF.md",
-     r"the dispatcher's moving executable since r4\*\* \| \*\*([\d.]+)\*\* \|",
-     "sample_results/uk_moving/summary.json",
-     lambda a: a["arms"]["dense"]["ms_per_step"], 0.0),
     (None, None,
      "sample_results/uk_moving/summary.json",
      lambda a: 1.0 if (
          a["bitwise_identical_trajectories"]
-         and a["arms"]["sparse_sortless"]["ms_per_step"]
-         < a["arms"]["sparse_sorted"]["ms_per_step"]
          and a["arms"]["dense"]["ms_per_step"]
          < a["arms"]["sparse_sortless"]["ms_per_step"]
+         < a["arms"]["sparse_sorted"]["ms_per_step"]
      ) else 0.0,
-     ("moving executable ordering holds (dense+sortless < sparse+sortless"
+     ("executable ordering holds (dense+sortless < sparse+sortless"
       " < sorted) with bitwise trajectories",
       1.0)),
     # --- full-UK epidemic capability artifact ------------------------------
