@@ -259,6 +259,39 @@ def check_test_count(verbose=True, timeout=180):
     ]
 
 
+def check_note_contradictions(verbose=True):
+    """Self-contradicting artifacts gate (VERDICT r4 weak #4 class): a
+    summary.json whose prose note claims extinction ("S+E+I = 0",
+    "to extinction", "epidemic over") while its own fields record
+    ``epidemic_over: false`` fails the suite."""
+    import glob
+
+    failures = []
+    claims = re.compile(
+        r"S\s*\+\s*E\s*\+\s*I\s*=\s*0|to extinction\b|epidemic (is |was )?over",
+        re.I,
+    )
+    for path in sorted(glob.glob(str(ROOT / "sample_results/**/*.json"),
+                                 recursive=True)):
+        try:
+            a = json.loads(Path(path).read_text())
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            continue
+        if not isinstance(a, dict) or a.get("epidemic_over") is not False:
+            continue
+        note = str(a.get("note", ""))
+        rel = str(Path(path).relative_to(ROOT))
+        ok = not claims.search(note)
+        if verbose:
+            print(f"{'ok ' if ok else 'FAIL'} {rel}: note consistent with "
+                  f"epidemic_over=false")
+        if not ok:
+            failures.append(
+                f"{rel}: note claims extinction but epidemic_over is false"
+            )
+    return failures
+
+
 def run_checks(checks=CHECKS, verbose=True):
     failures = []
     for doc, pattern, artifact, key_fn, tol in checks:
@@ -302,6 +335,7 @@ def main():
     failures = run_checks()
     failures += check_bench_headline()
     failures += check_perf_citations()
+    failures += check_note_contradictions()
     failures += check_test_count()
     if failures:
         print("\nARTIFACT/CLAIM MISMATCHES:")
