@@ -460,6 +460,20 @@ class SimConfig:
     #: ms/step) while the sampled path stays K-sized; below that scale the
     #: default selector is cheaper (docs/PERF.md Y&H negative result).
     vaccination_fixed_priority: bool | None = None
+    #: Sharded engine's exact-k vaccination selector
+    #: (ops/select.py::kth_threshold_sharded): None = auto — the
+    #: sampled-band search (3 collective rounds: sample all_gather, packed
+    #: psum, band all_gather) when the per-shard sample stride is >= 4,
+    #: else the 32-round psum bisection.  True/False pins the branch
+    #: (tests / A/B probes).  Both return the identical exact threshold,
+    #: so trajectories are bitwise-independent of the setting
+    #: (docs/PERF.md "Sharded vaccination selector").
+    use_sampled_vax_sharded: bool | None = None
+    #: log2 of the per-shard sample size the sharded sampled-band selector
+    #: draws (default 2^17 per shard; the auto rule above keeps
+    #: stride = shard_size / sample >= 4).  Tests shrink it to force the
+    #: sampled branch on tiny CPU-mesh worlds.
+    vax_sharded_sample_log2: int = 17
     #: Debug/probe only: bitmask subtracting pieces of the vaccinate branch
     #: (NOT semantics-preserving; tools/probe_vax_parts.py).  bit0: real
     #: exact-k selector (else a fixed-threshold fake), bit1: apply the

@@ -211,6 +211,9 @@ def bus_hits(
     max_hits: int = 16384,
     want_cit_lane: bool = True,
     rb_chance=None,
+    tie_bits=None,
+    draw_seed=None,
+    rider_gid0=None,
 ):
     """Gather-free bus exposure.
 
@@ -246,6 +249,19 @@ def bus_hits(
     chance (packed-replica ensembles sweep exposure_chance per replica).
     It rides the shuffle sort as an extra operand and exposure_p_fn is
     then called as ``exposure_p_fn(compliant, on_bus, chance_sorted)``.
+
+    ``tie_bits`` / ``draw_seed`` + ``rider_gid0``: shard-offsetable RNG
+    (sharded packed ensembles, engine/packed.py).  The default streams
+    are COUNTER-based (``random.bits(key,(r,))`` ties in lane order;
+    ``random.uniform(key,(r,))`` draws in SORTED order) and therefore
+    depend on the lane length and on other replicas' rider counts — a
+    shard slab cannot reproduce its slice of them.  Passing a
+    precomputed (r,) ``tie_bits`` lane and a scalar ``draw_seed`` keys
+    the exposure draw by RIDER ID (``hash_uniform(draw_seed,
+    rider_gid0 + rider_id)`` — order-independent), so per-replica
+    streams are identical at any sharding.  Law-identical either way
+    (iid ties / iid uniforms); default callers (fastpath, fastmesh) are
+    untouched bitwise.
     """
     from .runsums import run_totals
 
@@ -260,7 +276,12 @@ def bus_hits(
             jnp.zeros((0,), jnp.int32),
         )
     rk = jnp.where(rb_on, rider_route, _INT32_MAX)
-    tie = jax.random.bits(key_shuffle, (r,), dtype=jnp.uint32).astype(jnp.int32)
+    if tie_bits is not None:
+        tie = jnp.asarray(tie_bits, jnp.uint32).astype(jnp.int32)
+    else:
+        tie = jax.random.bits(
+            key_shuffle, (r,), dtype=jnp.uint32
+        ).astype(jnp.int32)
     idx = jnp.arange(r, dtype=jnp.uint32)
     payload = (
         (idx << 3)
@@ -297,7 +318,16 @@ def bus_hits(
     else:
         p = exposure_p_fn(compliant_s, valid)
     q = jnp.where(valid & (n_bus > 0), binomial_at_least_one(p, n_bus), 0.0)
-    hit = susc_s & valid & (jax.random.uniform(key_draw, (r,)) < q)
+    if draw_seed is not None:
+        from .hashrng import hash_uniform
+
+        g0 = jnp.uint32(0) if rider_gid0 is None else jnp.asarray(
+            rider_gid0, jnp.uint32
+        )
+        u = hash_uniform(draw_seed, (pay_s >> 3) + g0)
+    else:
+        u = jax.random.uniform(key_draw, (r,))
+    hit = susc_s & valid & (u < q)
 
     # Sparse return: compact hit payloads to the front with one u32 sort,
     # then scatter only those (few) citizen ids.

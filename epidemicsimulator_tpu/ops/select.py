@@ -97,6 +97,121 @@ def radix_threshold(scores_u32, eligible, k):
     return jax.lax.fori_loop(0, 8, round_body, jnp.uint32(0))
 
 
+def bisect_threshold_psum(scores_u32, eligible, k, axis):
+    """Sharded :func:`bisect_threshold`: the count is psum'd over ``axis``
+    each round, so every shard resolves the identical global threshold.
+    32 sequential collective rounds — the multi-chip latency this form
+    costs is why :func:`kth_threshold_sharded` exists; kept as its exact
+    fallback and for tiny shards."""
+    lo = jnp.uint32(0)
+    hi = _U32_MAX
+    for _ in range(32):
+        mid = lo + (hi - lo) // jnp.uint32(2)
+        cnt = jax.lax.psum(
+            jnp.sum((eligible & (scores_u32 <= mid)).astype(jnp.int32)), axis
+        )
+        hit = cnt >= k
+        lo = jnp.where(hit, lo, mid + jnp.uint32(1))
+        hi = jnp.where(hit, mid, hi)
+    return lo
+
+
+def kth_threshold_sharded(scores_u32, eligible, k, n_eligible, *, axis,
+                          force_sampled: bool | None = None,
+                          sample_log2: int = 17,
+                          band_slots: int = 4096):
+    """Exact GLOBAL k-th smallest eligible score under ``shard_map``
+    (vaccination exact-k, parallel/fastmesh.py §11; VERDICT r4 #2).
+
+    The sampled-band design of :func:`kth_threshold` adapted to a device
+    mesh: every shard contributes a strided sample of its local score
+    lane, ONE ``all_gather`` + replicated sort bounds the global k-th
+    score between two sample order statistics, one local pass counts
+    below-band and compacts the in-band members, ONE packed ``psum``
+    globalises (count-below, band-count, overflow), and ONE ``all_gather``
+    of the tiny per-shard bands feeds a replicated K-sized sort that
+    reads off the exact answer.  3 collective rounds + ~2 full-lane
+    passes, vs the bisection's 32 sequential psum rounds (multi-chip
+    latency) and 32 compare+reduce passes (single-chip time).  Band
+    overflow or a too-small pool falls back to
+    :func:`bisect_threshold_psum` via ``lax.cond`` on a replicated
+    predicate — both paths return the identical exact threshold, so
+    trajectories are bitwise-independent of which branch ran
+    (tests/test_fastmesh.py).
+    """
+    S = scores_u32.shape[0]
+    m_loc = 1 << sample_log2
+    stride = S // m_loc
+    # Auto rule mirrors the single-chip selector: sampled only for shards
+    # >= MIN_SAMPLED_N.  Measured on the 1-dev TPU mesh at Y&H shard size
+    # (3.46M): bisection 9.27 vs sampled 9.79 ms/step in a
+    # vaccinating-every-step window (within run variance; the 32 unrolled
+    # compare+reduce passes pipeline well at that size), while at 63M the
+    # single-chip bisection costs ~10 ms/step — the sampled path is for
+    # large shards and for real multi-chip meshes where 32 SEQUENTIAL
+    # psum rounds are pure ICI latency (docs/PERF.md "Sharded vaccination
+    # selector").
+    sampled = (
+        (stride >= 4 and S >= MIN_SAMPLED_N)
+        if force_sampled is None else force_sampled
+    )
+    if not sampled or stride < 1:
+        return bisect_threshold_psum(scores_u32, eligible, k, axis)
+
+    sub = jax.lax.slice(scores_u32, (0,), (m_loc * stride,), (stride,))
+    sub_elig = jax.lax.slice(eligible, (0,), (m_loc * stride,), (stride,))
+    masked = jnp.where(sub_elig, sub, _U32_MAX)
+    allsamp = jax.lax.all_gather(masked, axis).reshape(-1)
+    ssorted = jax.lax.sort(allsamp)
+    # MAX-valued eligible scores drop out of the sample statistics (same
+    # approximation as kth_threshold); the margin + fallback absorb it.
+    m_elig = jnp.sum((allsamp != _U32_MAX).astype(jnp.int32))
+    m = ssorted.shape[0]
+
+    n_el = jnp.maximum(jnp.asarray(n_eligible, jnp.int32), 1)
+    ratio = m_elig.astype(jnp.float32) / n_el.astype(jnp.float32)
+    r = jnp.floor(jnp.asarray(k, jnp.float32) * ratio).astype(jnp.int32)
+    marg = (
+        8.0 * jnp.sqrt(jnp.maximum(r.astype(jnp.float32), 1.0)) + 32.0
+    ).astype(jnp.int32)
+    lo_i = jnp.clip(r - marg, 0, m - 1)
+    hi_i = jnp.clip(r + marg, 0, m - 1)
+    a = jnp.where(lo_i > 0, ssorted[lo_i], jnp.uint32(0))
+    b = ssorted[hi_i]
+
+    below_a = eligible & (scores_u32 < a)
+    in_band = eligible & (scores_u32 >= a) & (scores_u32 <= b)
+    c_below_loc = jnp.sum(below_a.astype(jnp.int32))
+
+    from .sparse import compact_positions
+
+    pos, live, cnt = compact_positions(in_band, band_slots)
+    band = jnp.where(
+        live, jnp.take(scores_u32, jnp.minimum(pos, S - 1)), _U32_MAX
+    )
+    packed = jax.lax.psum(
+        jnp.stack([
+            c_below_loc,
+            jnp.minimum(cnt, band_slots),
+            (cnt > band_slots).astype(jnp.int32),
+        ]),
+        axis,
+    )
+    c_below, band_cnt, overflow = packed[0], packed[1], packed[2]
+    bands = jax.lax.all_gather(band, axis).reshape(-1)
+    band_sorted = jax.lax.sort(bands)
+    j = jnp.asarray(k, jnp.int32) - c_below  # 1-indexed global band rank
+    tau_fast = band_sorted[jnp.clip(j - 1, 0, bands.shape[0] - 1)]
+
+    ok = (overflow == 0) & (j >= 1) & (j <= band_cnt)
+    return jax.lax.cond(
+        ok,
+        lambda _: tau_fast,
+        lambda _: bisect_threshold_psum(scores_u32, eligible, k, axis),
+        None,
+    )
+
+
 def kth_threshold(seed_u32, eligible, k, n_eligible, *, use_pallas=False,
                   force_sampled: bool | None = None,
                   sample_log2: int = _SAMPLE_LOG2,

@@ -842,33 +842,26 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
         ),
     ).astype(jnp.int8)
 
-    # 11. vaccination: exact global-k selection.  Threshold search on psum'd
-    #     counts; shard-prefix tie allocation via all_gather.
+    # 11. vaccination: exact global-k selection.  Sampled-band threshold
+    #     (3 collective rounds; ops/select.py::kth_threshold_sharded) with
+    #     the 32-round psum bisection as exact fallback / small-shard path;
+    #     shard-prefix tie allocation via all_gather.
     def vaccinate(args):
         status, eligible = args
         # same scores as fastpath's fresh_threshold selector (global-id
-        # keyed); the bisection finds the identical k-th threshold and the
-        # shard-prefix tie split equals the global cumsum rank order
-        # (shards are contiguous citizen ranges)
-        scores = hash_bits(seed_vax0, gid_u32)
-        kk = jnp.minimum(
-            jnp.asarray(d.vaccination_rate, jnp.int32),
-            gsum(jnp.sum(eligible.astype(jnp.int32))),
-        )
+        # keyed); both selector branches find the identical k-th threshold
+        # and the shard-prefix tie split equals the global cumsum rank
+        # order (shards are contiguous citizen ranges)
+        from ..ops.select import kth_threshold_sharded
 
-        # Straight-line unroll (NOT lax.while_loop): lets XLA pipeline the
-        # 32 reduce+psum rounds instead of serialising them through the
-        # loop construct (ops/select.py::bisect_threshold rationale);
-        # bitwise-identical.
-        lo = jnp.uint32(0)
-        hi = jnp.uint32(0xFFFFFFFF)
-        for _ in range(32):
-            mid = lo + (hi - lo) // jnp.uint32(2)
-            cnt = gsum(jnp.sum((eligible & (scores <= mid)).astype(jnp.int32)))
-            hit = cnt >= kk
-            lo = jnp.where(hit, lo, mid + jnp.uint32(1))
-            hi = jnp.where(hit, mid, hi)
-        tau = lo
+        scores = hash_bits(seed_vax0, gid_u32)
+        n_elig = gsum(jnp.sum(eligible.astype(jnp.int32)))
+        kk = jnp.minimum(jnp.asarray(d.vaccination_rate, jnp.int32), n_elig)
+        tau = kth_threshold_sharded(
+            scores, eligible, kk, n_elig, axis=AXIS,
+            force_sampled=cfg.use_sampled_vax_sharded,
+            sample_log2=cfg.vax_sharded_sample_log2,
+        )
         below = eligible & (scores < tau)
         at = eligible & (scores == tau)
         allowed = kk - gsum(jnp.sum(below.astype(jnp.int32)))

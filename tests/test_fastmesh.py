@@ -380,3 +380,38 @@ def test_sortless_sharded_bitwise_matches_sorted():
     # the run must have exercised exposures + interventions
     assert res[True][0][-1, 1] > 0
     assert res[True][4].max() > 0
+
+
+def test_sharded_sampled_vax_bitwise_matches_bisection():
+    """The sampled-band sharded vaccination selector
+    (cfg.use_sampled_vax_sharded, ops/select.py::kth_threshold_sharded)
+    must leave the whole trajectory bitwise-identical to the psum
+    bisection — vaccination live every step after activation."""
+    world = _strip_transport(
+        generate_synthetic_world(6000, n_output_areas=10, seed=2)
+    )
+    mesh = make_mesh(8)
+    base = Params.covid()
+    params = Params(
+        dataclasses.replace(base.disease, exposure_chance=0.02,
+                            vaccination_rate=50),
+        dataclasses.replace(base.thresholds, lockdown=0.05, vaccination=0.01,
+                            mask_public_transport=0.005, mask_everywhere=0.03),
+    )
+    res = {}
+    for sampled in (False, True):
+        cfg = SimConfig(
+            max_steps=120, chunk_size=40,
+            use_sampled_vax_sharded=sampled, vax_sharded_sample_log2=6,
+        )
+        _, _, outs = run_fast_sharded(
+            world, params, cfg, mesh, seed=1, starting_infected=100
+        )
+        res[sampled] = (
+            np.asarray(outs.seirv), np.asarray(outs.n_vaccinated_now),
+            np.asarray(outs.lockdown), np.asarray(outs.mask_status),
+        )
+    for name, a, b in zip(("seirv", "n_vax", "lockdown", "mask"),
+                          res[False], res[True]):
+        np.testing.assert_array_equal(a, b, err_msg=f"{name} diverged")
+    assert res[True][1].max() > 0, "vaccination never fired"

@@ -108,3 +108,78 @@ def test_radix_matches_bisect():
         assert int(radix_threshold(dup, all_on, jnp.int32(k))) == int(
             bisect_threshold(dup, all_on, jnp.int32(k))
         )
+
+
+@pytest.mark.parametrize("force_sampled", [True, False])
+@pytest.mark.parametrize("k", [1, 129, 6000])
+def test_sharded_kth_matches_oracle(force_sampled, k):
+    """kth_threshold_sharded under shard_map on the 8-device CPU mesh must
+    return the exact GLOBAL k-th smallest eligible score on every shard —
+    both selector branches (sampled band / psum bisection)."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from epidemicsimulator_tpu.ops.select import kth_threshold_sharded
+    from epidemicsimulator_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    n_dev, S = 8, 8192
+    n = n_dev * S
+    rng = np.random.default_rng(k)
+    elig = rng.random(n) < 0.4
+    n_el = int(elig.sum())
+    kk = min(k, n_el)
+    seed = 4242
+    scores = hash_bits(jnp.uint32(seed), jnp.arange(n, dtype=jnp.uint32))
+    mesh = make_mesh(8)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P("pop"), P("pop")),
+             out_specs=P("pop"), check_vma=False)
+    def run(sc, el):
+        tau = kth_threshold_sharded(
+            sc, el, jnp.int32(kk), jnp.int32(n_el), axis="pop",
+            force_sampled=force_sampled, sample_log2=8, band_slots=1024,
+        )
+        return jnp.full((S,), tau)
+
+    taus = np.asarray(run(scores, jnp.asarray(elig)))
+    want = np.sort(np.asarray(scores)[elig])[kk - 1]
+    assert (taus == want).all(), f"{np.unique(taus)} != {want}"
+
+
+def test_sharded_kth_band_overflow_falls_back():
+    """Overflowing per-shard band slots must trip the replicated fallback
+    cond and still return the exact answer."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from epidemicsimulator_tpu.ops.select import kth_threshold_sharded
+    from epidemicsimulator_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    n_dev, S = 8, 8192
+    n = n_dev * S
+    rng = np.random.default_rng(1)
+    elig = rng.random(n) < 0.9
+    n_el = int(elig.sum())
+    kk = 20_000
+    seed = 99
+    scores = hash_bits(jnp.uint32(seed), jnp.arange(n, dtype=jnp.uint32))
+    mesh = make_mesh(8)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P("pop"), P("pop")),
+             out_specs=P("pop"), check_vma=False)
+    def run(sc, el):
+        tau = kth_threshold_sharded(
+            sc, el, jnp.int32(kk), jnp.int32(n_el), axis="pop",
+            force_sampled=True, sample_log2=4, band_slots=8,
+        )
+        return jnp.full((S,), tau)
+
+    taus = np.asarray(run(scores, jnp.asarray(elig)))
+    want = np.sort(np.asarray(scores)[elig])[kk - 1]
+    assert (taus == want).all()

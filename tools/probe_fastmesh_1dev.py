@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--oas", type=int, default=15_669)
     ap.add_argument("--chunk", type=int, default=250)
     ap.add_argument("--chunks", type=int, default=4)
+    ap.add_argument("--infected", type=int, default=100,
+                    help="starting infected (raise past every threshold "
+                    "for vaccination-live A/B windows, e.g. ab-vax)")
     ap.add_argument("--skip-single", action="store_true")
     ap.add_argument("--profile", default=None,
                     help="dump an xplane trace of one sharded chunk here "
@@ -108,20 +111,27 @@ def main():
         wd = world.device_put()
 
     for arm in arms:
-        sortless_arms = (
-            [None] if arm != "ab-sortless" else [False, True]
-        )
-        for sl in sortless_arms:
+        ab_arms = [(None, None)]
+        if arm == "ab-sortless":
+            ab_arms = [("use_sortless_sharded", False),
+                       ("use_sortless_sharded", True)]
+        elif arm == "ab-vax":
+            # one-process A/B of the sharded exact-k vaccination selector
+            # (32-round psum bisection vs sampled band); run with
+            # --infected high enough that vaccination fires from step 1
+            ab_arms = [("use_sampled_vax_sharded", False),
+                       ("use_sampled_vax_sharded", True)]
+        for field, val in ab_arms:
             cfg = SimConfig(
                 max_steps=10**9, chunk_size=args.chunk,
                 debug_force_gates=GATE_MAP.get(arm),
-                use_sortless_sharded=sl,
+                **({field: val} if field else {}),
             )
             st = init_sharded_state(
-                world, sw, seed=0, starting_infected=100, cfg=cfg
+                world, sw, seed=0, starting_infected=args.infected, cfg=cfg
             )
             runner = make_fast_sharded_runner(sw, cfg, mesh)
-            label = arm if sl is None else f"sortless={sl}"
+            label = arm if field is None else f"{field}={val}"
             ms_sh = timed(f"sharded-1dev[{label}]",
                           lambda pp, s: runner(w_sh, pp, s), st, p)
         if args.profile:
@@ -136,7 +146,7 @@ def main():
                   flush=True)
 
         if not args.skip_single:
-            st1 = init_state(world, seed=0, starting_infected=100)
+            st1 = init_state(world, seed=0, starting_infected=args.infected)
             fn1 = make_chunk_runner(wd, cfg)
             ms_1 = timed(f"fastpath[{arm}]", fn1, st1, p)
             print(f"[{arm}] ratio sharded/fastpath: {ms_sh / ms_1:.2f} "
