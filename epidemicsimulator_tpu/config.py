@@ -474,6 +474,27 @@ class SimConfig:
     #: stride = shard_size / sample >= 4).  Tests shrink it to force the
     #: sampled branch on tiny CPU-mesh worlds.
     vax_sharded_sample_log2: int = 17
+    #: Packed-ensemble bus RNG mode (engine/packed.py): None/False = the
+    #: default counter-based streams (random.bits/uniform over the local
+    #: rider axis — stream depends on the packed lane length); True = ties
+    #: and exposure draws hash GLOBAL rider ids (ops/segments.py bus_hits
+    #: tie_bits/draw_seed), making per-replica trajectories invariant to
+    #: how replicas are sharded across devices.  Law-identical either way;
+    #: the replicate-sharded runner (parallel/ensemble_mesh.py) forces
+    #: True so an R-replica run matches the single-device R-packing
+    #: bitwise at any mesh size.
+    id_keyed_ensemble_rng: bool | None = None
+    #: Debug/probe only (tools/probe_fastmesh_1dev.py --gates parts):
+    #: bitmask subtracting pieces of the SHARDED step's base budget for the
+    #: per-collective cost table (docs/PERF.md).  bit0: psum/all_gather
+    #: collectives become local values (value-identical on a 1-device
+    #: mesh), bit1: ghost all_to_all machinery skipped (value-identical
+    #: when no cross-shard worker exists), bit2: the idempotent
+    #: hit-combine re-apply after the gated sides skipped (value-identical
+    #: in the fused moving regime with both sides forced off and
+    #: vaccination disabled).  -1 = all real.  NOT semantics-preserving
+    #: outside those regimes.
+    debug_shard_parts: int = -1
     #: Debug/probe only: bitmask subtracting pieces of the vaccinate branch
     #: (NOT semantics-preserving; tools/probe_vax_parts.py).  bit0: real
     #: exact-k selector (else a fixed-threshold fake), bit1: apply the

@@ -132,6 +132,7 @@ def run_ensemble(
     *,
     seed: int = 0,
     engine: str = "packed",
+    devices: int | None = None,
 ):
     """Run R replicates to max_steps; returns (R, T, 5) SEIRV series.
 
@@ -143,8 +144,22 @@ def run_ensemble(
     the right tool when replicas must share a device-resident world
     (e.g. very large base worlds where R tiled copies exceed HBM).
 
+    ``devices``: >1 shards the packed R axis replicate-per-device
+    (parallel/ensemble_mesh.py — pure data parallelism, zero per-step
+    collectives; replicas must divide evenly).  Trajectories then run in
+    id-keyed bus-RNG mode (SimConfig.id_keyed_ensemble_rng) so results
+    are bitwise-identical at any mesh size.
+
     Early exit happens only when ALL replicates are done.
     """
+    if devices is not None and devices > 1:
+        if engine != "packed":
+            raise ValueError("sharded ensembles require engine='packed'")
+        from ..parallel.ensemble_mesh import run_packed_ensemble_sharded
+
+        return run_packed_ensemble_sharded(
+            world, params_list, cfg, n_devices=devices, seed=seed
+        )
     if engine == "packed":
         from .packed import run_packed_ensemble
 

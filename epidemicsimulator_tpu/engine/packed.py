@@ -283,7 +283,8 @@ def make_perm_rels(world, R, stride):
 
 
 def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
-                fused_statics=None, rng=None, perm_rels=None):
+                fused_statics=None, rng=None, perm_rels=None,
+                gid0=None, rider_gid0=None):
     """One hour for all R replicas.  Reference semantics per replica
     (simulator.rs:131-152); th = InterventionThresholds (shared).
 
@@ -295,6 +296,15 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
     ``rng``: optional pre-derived (k_bus, k_b, seed_h, seed_w, seed_vax)
     for this step (derive_step_rng row); derived inline from
     ``state.rng_key`` when absent — identical streams either way.
+
+    ``gid0`` / ``rider_gid0``: global lane offsets for the replicate-
+    sharded runner (parallel/ensemble_mesh.py) — a device holding
+    replicas [d*R_l, (d+1)*R_l) passes its first lane's index in the
+    full-R packing so every index-keyed draw (home, work, vaccination
+    scores — and, under ``cfg.id_keyed_ensemble_rng``, the bus tie/draw
+    streams) hashes GLOBAL ids and the sharded trajectory is bitwise the
+    single-device full-R packing's.  ``None`` (single-device callers)
+    means offset 0.
     """
     world = pe.world
     R, n, stride = pe.n_replicas, pe.rep_size, pe.rep_stride
@@ -302,6 +312,18 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
     if perm_rels is None:
         perm_rels = make_perm_rels(world, R, stride)
     wpos_rel, wperm_rel, rpos_rel = perm_rels
+    off_u32 = (
+        jnp.uint32(0) if gid0 is None else jnp.asarray(gid0, jnp.uint32)
+    )
+
+    def lane_u32():
+        ids = jnp.arange(N, dtype=jnp.uint32)
+        return ids if gid0 is None else ids + off_u32
+
+    id_keyed_bus = (
+        bool(cfg.id_keyed_ensemble_rng)
+        if cfg.id_keyed_ensemble_rng is not None else False
+    )
 
     hour = state.hour + 1
     if rng is None:
@@ -356,7 +378,8 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
         ints = jnp.stack([
             h24.astype(jnp.int32), zero, zero,
             jax.lax.bitcast_convert_type(seed_h, jnp.int32),
-            zero, zero, zero, zero,
+            zero, zero,
+            jax.lax.bitcast_convert_type(off_u32, jnp.int32), zero,
         ])
         f32s = jnp.stack([jnp.float32(0.0), jnp.float32(0.0)])
         rep_ints = jnp.stack(
@@ -470,7 +493,7 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
         )
         susceptible = status == STATUS_SUSCEPTIBLE
         hit_home = susceptible & (
-            hash_uniform(seed_h, jnp.arange(N, dtype=jnp.uint32)) < q_home
+            hash_uniform(seed_h, lane_u32()) < q_home
         )
         contrib_work = inf_active & at_work & wneq
         fwd_packed = (
@@ -540,7 +563,7 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
             -jnp.expm1(draws_ws.astype(jnp.float32) * jnp.log1p(-q_single)),
             0.0,
         )
-        u_w = hash_uniform(seed_w, jnp.arange(N, dtype=jnp.uint32))
+        u_w = hash_uniform(seed_w, lane_u32())
         hit_work_ws = susc_ws & ~hit_home_ws & (u_w < q_work_ws)
         # hits are few on most hours: ship them back to citizen order as a
         # K-bounded compaction + scatter instead of a second N-sized
@@ -624,6 +647,28 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
             ch_r * jnp.where(active_r, 1.0 - eff_r, 1.0),
             jnp.float32,
         )
+        if id_keyed_bus:
+            # Shard-invariant bus streams: ties and exposure draws hash
+            # GLOBAL rider ids instead of riding counter-based
+            # key-generation over the local lane length (segments.py
+            # bus_hits docstring) — a replicate shard reproduces its
+            # slice of the full-R streams exactly.
+            roff = (
+                jnp.uint32(0) if rider_gid0 is None
+                else jnp.asarray(rider_gid0, jnp.uint32)
+            )
+            seed_tie = jax.random.bits(k_bus, (), jnp.uint32)
+            seed_draw = jax.random.bits(k_b, (), jnp.uint32)
+            tie_bits = hash_bits(
+                seed_tie, roff + jnp.arange(R_riders, dtype=jnp.uint32)
+            )
+            return bus_hits(
+                k_bus, k_b, rb_on, rb_inf, rb_susc, compliant_r,
+                world.rider_route, rp, cfg.bus_capacity,
+                lambda c, v, chance: chance, N,
+                rb_chance=rb_chance,
+                tie_bits=tie_bits, draw_seed=seed_draw, rider_gid0=roff,
+            )[0]
         return bus_hits(
             k_bus, k_b, rb_on, rb_inf, rb_susc, compliant_r,
             world.rider_route, rp, cfg.bus_capacity,
@@ -691,9 +736,7 @@ def packed_step(pe: PackedEnsemble, th, cfg: SimConfig, state: PackedState,
     #     any replica having started
     def vaccinate(args):
         status, eligible = args
-        scores = hash_bits(
-            seed_vax, jnp.arange(N, dtype=jnp.uint32)
-        ).reshape(R, stride)
+        scores = hash_bits(seed_vax, lane_u32()).reshape(R, stride)
         elig2 = eligible.reshape(R, stride)
         started = vaccination_started
         k_r = jnp.where(
