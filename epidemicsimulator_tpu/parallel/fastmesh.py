@@ -144,7 +144,17 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
     else:
         _range_totals = range_totals
 
+    # Probe-only subtraction bits for the per-collective cost table
+    # (SimConfig.debug_shard_parts; docs/PERF.md "per-collective cost
+    # table").  0 = everything real.
+    _parts = 0 if cfg.debug_shard_parts == -1 else cfg.debug_shard_parts
+    _skip_collectives = bool(_parts & 1)
+    _skip_ghost = bool(_parts & 2)
+    _skip_reapply = bool(_parts & 4)
+
     def gsum(x):
+        if _skip_collectives:
+            return x
         return jax.lax.psum(x, AXIS)
 
     sq = lambda x: x.reshape(x.shape[1:])  # drop the shard_map unit axis
@@ -347,14 +357,17 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
 
         # ghost bits out: gather my cross-shard workers' bits, exchange,
         # and overwrite the (garbage) ghost slot positions at the owner
-        fwd_ext = _ext(fwd, 0)
-        send = jnp.take(fwd_ext, sq(sw.out_ghost_src).reshape(-1)).reshape(
-            n_dev, G
-        )
-        recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
-        slots = slots.at[sq(sw.recv_slot_pos).reshape(-1)].set(
-            recv.reshape(-1), mode="drop"
-        )
+        if not _skip_ghost:
+            fwd_ext = _ext(fwd, 0)
+            send = jnp.take(
+                fwd_ext, sq(sw.out_ghost_src).reshape(-1)
+            ).reshape(n_dev, G)
+            recv = jax.lax.all_to_all(
+                send, AXIS, split_axis=0, concat_axis=0
+            )
+            slots = slots.at[sq(sw.recv_slot_pos).reshape(-1)].set(
+                recv.reshape(-1), mode="drop"
+            )
 
         active = sq(sw.slot_active)
         contrib_s = ((slots & 1) != 0) & active
@@ -430,6 +443,8 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
         hit_work0 = jax.lax.cond(
             cnt > KS, dense, lambda _: sp, hit_local_only
         )
+        if _skip_ghost:
+            return hit_work0, oa_work
         hit_s_ext = _ext(hit_s.astype(jnp.int8), 0)
         ghost_hits = jnp.take(
             hit_s_ext, sq(sw.recv_slot_pos).reshape(-1)
@@ -797,13 +812,21 @@ def fast_shard_step(sw: ShardedWorld, params: Params, cfg: SimConfig,
     #    the dense re-apply is idempotent, so both branches stay bitwise-
     #    identical)
     newly_exposed = hit_home | hit_work | hit_bus
-    status = jnp.where(newly_exposed, jnp.int8(STATUS_EXPOSED), status)
-    timer = jnp.where(newly_exposed, 0, timer)
-    from_bus = hit_bus & ~hit_home & ~hit_work
-    if cfg.faithful_vaccine_bugs:
-        eligible = state.eligible & ~from_bus
+    if _skip_reapply:
+        # probe bit2: value-identical ONLY with both sides forced off in
+        # the fused regime (hit_work/hit_bus all-zero => the re-apply
+        # rewrites the kernel's own values) and vaccination disabled
+        # (eligible never read)
+        from_bus = hit_bus & ~hit_home & ~hit_work
+        eligible = state.eligible
     else:
-        eligible = state.eligible & ~newly_exposed
+        status = jnp.where(newly_exposed, jnp.int8(STATUS_EXPOSED), status)
+        timer = jnp.where(newly_exposed, 0, timer)
+        from_bus = hit_bus & ~hit_home & ~hit_work
+        if cfg.faithful_vaccine_bugs:
+            eligible = state.eligible & ~from_bus
+        else:
+            eligible = state.eligible & ~newly_exposed
 
     n_new = gsum(jnp.sum(newly_exposed.astype(jnp.int32)))
     n_bus_exp = gsum(jnp.sum(from_bus.astype(jnp.int32)))

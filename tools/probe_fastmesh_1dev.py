@@ -112,7 +112,14 @@ def main():
 
     for arm in arms:
         ab_arms = [(None, None)]
-        if arm == "ab-sortless":
+        if arm == "parts":
+            # the per-collective cost table ladder (docs/PERF.md): both
+            # gated sides forced OFF, then subtract base-budget terms one
+            # bit at a time (SimConfig.debug_shard_parts) — every rung is
+            # value-identical on the 1-dev mesh in this regime
+            ab_arms = [("debug_shard_parts", v) for v in (-1, 1, 3, 7)]
+            arm = "both-off"
+        elif arm == "ab-sortless":
             ab_arms = [("use_sortless_sharded", False),
                        ("use_sortless_sharded", True)]
         elif arm == "ab-vax":
