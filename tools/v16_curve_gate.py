@@ -74,6 +74,21 @@ def band_coverage(canon, seeds, comp, shift_h=0):
     return float(inside.mean()), lo, hi, c
 
 
+def loo_self_coverage(seeds, comp, T):
+    """Leave-one-out pointwise coverage: each seed scored against the band
+    of the other seeds over the same horizon the canonical gate uses.
+    This is the yardstick for the canonical run's pointwise coverage — if
+    the canonical number sits inside this distribution, the residual is
+    seed noise (takeoff/trigger-hour jitter), not a fidelity defect."""
+    s = seeds[:, :T, comp].astype(np.float64)
+    covs = []
+    for i in range(s.shape[0]):
+        others = np.delete(s, i, axis=0)
+        lo, hi = others.min(axis=0), others.max(axis=0)
+        covs.append(float(((s[i] >= lo) & (s[i] <= hi)).mean()))
+    return np.array(covs)
+
+
 def nrmse(canon, seeds, comp):
     T = min(canon.shape[0], seeds.shape[1])
     c = canon[:T, comp].astype(np.float64)
@@ -110,10 +125,22 @@ def main():
         cov0, lo, hi, c = band_coverage(canon, seeds, comp, shift_h=0)
         cov24 = band_coverage(canon, seeds, comp, shift_h=24)[0]
         cov72 = band_coverage(canon, seeds, comp, shift_h=72)[0]
+        T = min(canon.shape[0], seeds.shape[1])
+        self_cov = loo_self_coverage(seeds, comp, T)
         report[name] = {
             "coverage_pointwise": round(cov0, 4),
             "coverage_phase24h": round(cov24, 4),
             "coverage_phase72h": round(cov72, 4),
+            # the seed band's own leave-one-out pointwise coverage —
+            # the canonical run is indistinguishable from a band member
+            # when its coverage sits inside this distribution
+            "self_coverage_loo": {
+                "min": round(float(self_cov.min()), 4),
+                "p25": round(float(np.percentile(self_cov, 25)), 4),
+                "median": round(float(np.median(self_cov)), 4),
+                "max": round(float(self_cov.max()), 4),
+                "seeds_below_canonical": int((self_cov < cov0).sum()),
+            },
             "nrmse": {k: round(v, 4) for k, v in nrmse(
                 canon, seeds, comp).items()},
         }
