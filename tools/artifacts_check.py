@@ -158,6 +158,47 @@ CHECKS = [
      r"nRMSE vs the seed median[\s*]+([\d.]+)",
      "sample_results/york_v16/curve_gate.json",
      lambda a: a["infected"]["nrmse"]["vs_median"], 0.005),
+    # --- V-gate LOO bound (round 5) ---------------------------------------
+    ("docs/FIDELITY.md",
+     r"\[0\.675, 1\.0\] for vaccinated \((\d+)/32 seeds below",
+     "sample_results/york_v16/curve_gate.json",
+     lambda a: a["vaccinated"]["self_coverage_loo"]["seeds_below_canonical"],
+     0.0),
+    (None, None,
+     "sample_results/york_v16/curve_gate.json",
+     lambda a: 1.0 if (
+         a["vaccinated"]["self_coverage_loo"]["min"]
+         <= a["vaccinated"]["coverage_pointwise"]
+         and a["vaccinated"]["self_coverage_loo"]["seeds_below_canonical"] > 0
+     ) else 0.0,
+     ("canonical V coverage sits inside the seed band's LOO self-coverage "
+      "distribution", 1.0)),
+    # --- real-world validation (round 5) ----------------------------------
+    (None, None,
+     "sample_results/real_validation/summary.json",
+     lambda a: 1.0 if (
+         "1.0" in a.get("calibration_to_real_wave", {})
+         and "0.25" in a["calibration_to_real_wave"]
+         and 0 < a["calibration_to_real_wave"]["1.0"]["value"] < 0.003
+     ) else 0.0,
+     ("real-wave calibration committed at both ascertainments with a fit "
+      "below the v1.6 constant", 1.0)),
+    ("docs/FIDELITY.md",
+     r"it lands at \*\*([\d.]+)e-4 — 11\.6× below the v1\.6 constant",
+     "sample_results/real_validation/summary.json",
+     lambda a: round(
+         a["calibration_to_real_wave"]["1.0"]["value"] * 1e4, 2
+     ), 0.005),
+    # --- 63M sharded-vs-dense on the real chip (round 5) ------------------
+    (None, None,
+     "sample_results/uk_sharded/summary.json",
+     lambda a: 1.0 if (
+         a["real1dev"]["sharded_1dev_ms_per_step"] > 0
+         and a["real1dev"]["census_max_abs_drift"] < 10_000
+         and a["real1dev"]["census_drift_is_documented_bus_divergence"]
+     ) else 0.0,
+     ("uk_sharded real1dev measured with census drift inside bus-stream "
+      "noise", 1.0)),
 ]
 
 

@@ -142,8 +142,26 @@ def main():
             )
         }
 
+    # reference comparators: the Viking jobs in the same log — York 637
+    # OAs (init 284.7s) and the headline Y&H run at 15,669 OAs
+    # (init 399.55s, 0.80 s/step)
+    if args.oas >= 10_000:
+        reference = {
+            "n_citizens": 3_457_142, "n_output_areas": 15_669,
+            "init_s": 399.55, "s_per_step": 0.80,
+            "source": "epidemic_sim_v1.6_17739074.log (Y&H headline)",
+        }
+        label = "real CLI data path at Y&H scale (gen_fixture inputs)"
+    else:
+        reference = {
+            "n_citizens": 197_603, "n_output_areas": 637,
+            "init_s": 284.7, "total_s": 343.0,
+            "source": "epidemic_sim_v1.6_17739074.log",
+        }
+        label = "real CLI data path at York scale (gen_fixture inputs)"
+
     summary = {
-        "what": "real CLI data path at York scale (gen_fixture inputs)",
+        "what": label,
         "params": args.params,
         "n_output_areas": len(codes),
         "n_citizens": n_citizens,
@@ -161,11 +179,7 @@ def main():
         "cli_total_s": round(total_s, 1),
         "cli_phases": cli_phases,
         "builder_phase_s": build_timings,
-        "reference_york": {
-            "n_citizens": 197603, "n_output_areas": 637,
-            "init_s": 284.7, "total_s": 343.0,
-            "source": "epidemic_sim_v1.6_17739074.log",
-        },
+        "reference": reference,
     }
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
