@@ -99,9 +99,15 @@ def main():
     print(f"100 steps done, census {census100.tolist()}", flush=True)
 
     # --- snapshot (timed: device->host pull vs compress+write) ---------
+    import dataclasses as _dc
+
     t0 = time.perf_counter()
-    host_state = jax.tree.map(
-        lambda x: np.asarray(x) if hasattr(x, "shape") else x, state
+    host_state = _dc.replace(
+        jax.tree.map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+            _dc.replace(state, rng_key=None),
+        ),
+        rng_key=state.rng_key,  # save_state key_data-serialises it itself
     )
     pull_s = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -109,8 +115,8 @@ def main():
     write_s = time.perf_counter() - t0
     size_mb = os.path.getsize(args.path) / 1e6
     lane_mb = sum(
-        np.asarray(v).nbytes
-        for v in jax.tree.leaves(host_state) if hasattr(v, "shape")
+        v.nbytes for v in jax.tree.leaves(host_state)
+        if isinstance(v, np.ndarray)
     ) / 1e6
     res["snapshot"] = {
         "pull_s": round(pull_s, 1),
