@@ -49,13 +49,16 @@ def _bytes_accessed(compiled):
 
 
 def _measure(chunk_fn, params, state, chunks, chunk_size):
-    import jax
     import numpy as np
 
+    # np.asarray — NOT block_until_ready, which does not block through
+    # the axon tunnel: un-drained warm chunks then stack under the timed
+    # dispatches over donated buffers and inflate ms/step ~10x
+    # (measured; the .claude/skills/verify gotcha).
     state, out = chunk_fn(params, state)  # compile + warm
-    jax.block_until_ready(out.seirv)
+    np.asarray(out.seirv)
     state, out = chunk_fn(params, state)
-    jax.block_until_ready(out.seirv)
+    np.asarray(out.seirv)
     t0 = time.perf_counter()
     for _ in range(chunks):
         state, out = chunk_fn(params, state)
@@ -98,7 +101,16 @@ def run_regime(regime):
     wd = world.device_put()
 
     res = {"n_citizens": n, "chunk_size": chunk}
-    for arm, force in (("full", None), ("gates_off", (False, False))):
+    # forced arms pin every lax.cond so XLA DCEs the untaken side and the
+    # AOT byte count matches what a step of that regime EXECUTES; the
+    # "full" arm's byte count includes BOTH sides of every cond (an upper
+    # bound on any step, not an executed figure) while its timing is the
+    # real mixed bench regime.
+    for arm, force in (
+        ("full", None),
+        ("gates_on", (True, True)),
+        ("gates_off", (False, False)),
+    ):
         cfg = SimConfig(
             max_steps=10**9, chunk_size=chunk,
             record_exposures_per_oa=(regime == "yh"),
