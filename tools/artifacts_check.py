@@ -199,6 +199,68 @@ CHECKS = [
      ) else 0.0,
      ("uk_sharded real1dev measured with census drift inside bus-stream "
       "noise", 1.0)),
+    ("docs/PERF.md",
+     r"\| sharded, 1-dev mesh \| \*\*([\d.]+)\*\* \|",
+     "sample_results/uk_sharded/summary.json",
+     lambda a: a["real1dev"]["sharded_1dev_ms_per_step"], 0.0),
+    (None, None,
+     "sample_results/uk_sharded/summary.json",
+     lambda a: 1.0 if (
+         a["virtual8_sustained"]["resume_bitwise_50h"]
+         and a["virtual8_sustained"]["census_conserved"]
+         and a["virtual8_sustained"]["steps_total"] == 500
+         and a["virtual8_sustained"]["interventions"]["lockdown_at_hour_300"]
+         and a["virtual8_sustained"]["interventions"]["vaccinated_final"] > 0
+     ) else 0.0,
+     ("sustained 63M sharded epidemic: 500 steps, bitwise resume, census "
+      "conserved, interventions fired", 1.0)),
+    # --- 63M checkpoint cycle (round 5) -----------------------------------
+    ("docs/PERF.md",
+     r"compress \+ atomic write \(npz, [\d.]+x -> \*\*([\d.]+) MB\*\*\)",
+     "sample_results/uk_checkpoint/summary.json",
+     lambda a: a["snapshot"]["size_mb"], 0.0),
+    (None, None,
+     "sample_results/uk_checkpoint/summary.json",
+     lambda a: 1.0 if (
+         a["resume_bitwise_100_steps"] and a["final_lane_checksums_equal"]
+         and a["n_citizens"] == 63_000_000
+     ) else 0.0,
+     ("63M single-chip checkpoint cycle is bitwise-exact", 1.0)),
+    # --- roofline (round 5) -----------------------------------------------
+    ("docs/PERF.md",
+     r"\| Y&H forced-on \(work\+bus every step\) \| [\d.]+ \| [\d.]+ GB \| "
+     r"\*\*([\d.]+)\*\* \|",
+     "sample_results/roofline/summary.json",
+     lambda a: a["yh"]["gates_on"]["roofline_fraction"], 0.0),
+    # --- sharded ensembles (round 5) --------------------------------------
+    ("docs/PERF.md",
+     r"\| same, id-keyed bus RNG \| \*\*([\d.]+)\*\* \|",
+     "sample_results/ensemble_sharded/summary.json",
+     lambda a: a["id_keyed_rng"]["ms_per_ensemble_step"], 0.0),
+    (None, None,
+     "sample_results/ensemble_sharded/summary.json",
+     lambda a: 1.0 if a["sharded_bitwise_matches_idkeyed_single"] else 0.0,
+     ("1-dev-mesh sharded ensemble bitwise matches the id-keyed packing "
+      "on the real chip", 1.0)),
+    # --- Y&H pipeline + log gate (round 5) --------------------------------
+    ("docs/FIDELITY.md",
+     r"CLI total ([\d.]+) s for the full 5,000-hour epidemic",
+     "sample_results/yh_pipeline/summary.json",
+     lambda a: a["cli_total_s"], 0.0),
+    ("docs/FIDELITY.md",
+     r"peak infected \*\*([\d.]+)% vs the\s+reference's 53\.2%\*\*",
+     "sample_results/yh_pipeline/log_gate.json",
+     lambda a: round(100 * a["sim_anatomy_band"]["peak_I_frac"][1], 1), 0.0),
+    (None, None,
+     "sample_results/yh_pipeline/log_gate.json",
+     lambda a: 1.0 if (
+         a["n_seeds"] >= 5
+         and abs(a["sim_anatomy_band"]["attack_frac"][1]
+                 - a["reference_anatomy"]["attack_frac"]) < 0.07
+         and abs(a["sim_anatomy_band"]["peak_I_frac"][1]
+                 - a["reference_anatomy"]["peak_I_frac"]) < 0.07
+     ) else 0.0,
+     ("Y&H log-gate anatomy within 7pp of the reference's own run", 1.0)),
 ]
 
 
