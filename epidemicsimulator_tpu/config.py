@@ -202,11 +202,19 @@ class Params:
           York run, statistics_results/york_stats_results/v1.6) — which is
           why v1.6 produced a full epidemic (peak 89,170 infected) while
           v1.7.1's 0.0034 lockdown suppressed it at 2,315;
-        * vaccination rate ~1,700/step measured from the canonical
-          artifact's drain window (S falls 90,389->5,130 over h850-900
-          while V rises +84,777: 1,695.5/step) — i.e. the v1.6 constant
-          was ``85 * 20 = 1700`` where today's disease.rs:126 has
-          ``85 * 18``;
+        * vaccination rate **5,100/step = 85 * 60** (today's disease.rs:126
+          has ``85 * 18``).  Rounds 2-4 used 1,700 — the canonical drain
+          window's *average* (+84,777 V over 50 steps) — but the faithful
+          never-pruned-pool semantics re-pick already-vaccinated members,
+          so the instantaneous ramp decays exponentially:
+          ``V(t) = P(1 - exp(-r t / P))``.  Fitting that law to the
+          canonical York artifact gives a per-step pool fraction
+          f = 0.0535 at every probe point (t=10/25/50), i.e.
+          r = f x 95,944 ~ 5,133/step — and the SAME fit on the
+          reference's own 3.46M Y&H log gives f = 0.0033 with
+          r = f x 1,532,302 ~ 5,057/step: one absolute constant across a
+          17.5x population change, nailing the rate at ~5,100 (r5,
+          docs/FIDELITY.md "the vaccination-rate correction");
         * first recovereds at hour ~336 and first infecteds at ~96 confirm
           exposed_time/infected_time unchanged;
         * ``exposure_chance`` is the one free parameter (the v1.6 source is
@@ -220,7 +228,7 @@ class Params:
         """
         return Params(
             DiseaseParams(exposure_chance=V16_EXPOSURE_CHANCE,
-                          vaccination_rate=1700),
+                          vaccination_rate=5100),
             InterventionThresholds(
                 lockdown=0.60,
                 vaccination=0.30,

@@ -158,21 +158,21 @@ CHECKS = [
      r"nRMSE vs the seed median[\s*]+([\d.]+)",
      "sample_results/york_v16/curve_gate.json",
      lambda a: a["infected"]["nrmse"]["vs_median"], 0.005),
-    # --- V-gate LOO bound (round 5) ---------------------------------------
+    # --- V-gate LOO bound + rate-corrected V coverage (round 5) -----------
     ("docs/FIDELITY.md",
-     r"\[0\.675, 1\.0\] for vaccinated \((\d+)/32 seeds below",
+     r"\[0\.589, 1\.0\] for vaccinated \((\d+)/32 below",
      "sample_results/york_v16/curve_gate.json",
      lambda a: a["vaccinated"]["self_coverage_loo"]["seeds_below_canonical"],
      0.0),
     (None, None,
      "sample_results/york_v16/curve_gate.json",
      lambda a: 1.0 if (
-         a["vaccinated"]["self_coverage_loo"]["min"]
+         a["vaccinated"]["coverage_pointwise"] >= 0.999
+         and a["vaccinated"]["self_coverage_loo"]["min"]
          <= a["vaccinated"]["coverage_pointwise"]
-         and a["vaccinated"]["self_coverage_loo"]["seeds_below_canonical"] > 0
      ) else 0.0,
-     ("canonical V coverage sits inside the seed band's LOO self-coverage "
-      "distribution", 1.0)),
+     ("canonical V coverage is 100% pointwise under the corrected "
+      "vaccination rate", 1.0)),
     # --- real-world validation (round 5) ----------------------------------
     (None, None,
      "sample_results/real_validation/summary.json",

@@ -178,7 +178,7 @@ def main():
                "final_V": 95944, "end_h": 1426}
         summary = {
             "params": "Params.covid_v16() (exposure_chance=0.003, vax "
-                      "1700/step, thresholds .20/.30/.40/.60)",
+                      "5100/step, thresholds .20/.30/.40/.60)",
             "world": "census-like York (197,603 citizens, 637 OAs, mega "
                      "sites on), world seed 42+s%4, sim seed s",
             "n_seeds": len(all_rows),
