@@ -248,7 +248,7 @@ CHECKS = [
      "sample_results/yh_pipeline/summary.json",
      lambda a: a["cli_total_s"], 0.0),
     ("docs/FIDELITY.md",
-     r"peak infected \*\*([\d.]+)% vs the\s+reference's 53\.2%\*\*",
+     r"peak infected \*\*([\d.]+)% vs the\s+reference's\s+53\.2%\*\*",
      "sample_results/yh_pipeline/log_gate.json",
      lambda a: round(100 * a["sim_anatomy_band"]["peak_I_frac"][1], 1), 0.0),
     (None, None,
