@@ -36,6 +36,10 @@ ARMS = {
     "hub_dispersion_40": {"n_hubs": 40},
     "commute_intensity_self015": {"self_fraction": 0.15},
     "mixing_radius_decay6": {"commute_decay": 6.0},
+    # workplace-size axis (r5 follow-up: the commuting knobs above are
+    # all <=2.1pp — the finding predicts the residual lives here)
+    "hub_fraction_030": {"hub_fraction": 0.30},
+    "fewer_bigger_workplaces_3": {"workplaces_per_oa": 3},
 }
 
 
@@ -90,6 +94,9 @@ def run_arm(name, kw, args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=5000)
+    ap.add_argument("--arms", default=None,
+                    help="comma list to run (others kept from the "
+                    "existing artifact)")
     args = ap.parse_args()
 
     from epidemicsimulator_tpu.utils import enable_compilation_cache
@@ -99,8 +106,17 @@ def main():
 
     _ = int(jax.numpy.arange(8).sum())
 
+    out_path = "sample_results/yh_pipeline/structure_sensitivity.json"
     report = {"reference_anatomy": REF, "arms": {}}
+    if args.arms and os.path.exists(out_path):
+        report = json.load(open(out_path))
+    wanted = (
+        set(a.strip() for a in args.arms.split(",")) if args.arms
+        else set(ARMS)
+    )
     for name, kw in ARMS.items():
+        if name not in wanted:
+            continue
         t0 = time.perf_counter()
         report["arms"][name] = run_arm(name, kw, args)
         print(f"{name}: {json.dumps(report['arms'][name])} "
@@ -113,8 +129,7 @@ def main():
             + abs(a["attack_frac"] - REF["attack_frac"])
             + abs(a["max_V_frac"] - REF["max_V_frac"]), 4
         )
-    out = "sample_results/yh_pipeline/structure_sensitivity.json"
-    with open(out, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))
 
